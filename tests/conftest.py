@@ -1,0 +1,23 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding logic
+(jax.sharding.Mesh + shard_map) is exercised without TPU hardware.  The real
+single-chip TPU path is covered by bench.py and the driver's compile checks.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
+    config.addinivalue_line("markers", "tpu: requires real TPU hardware")
