@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Persistent compilation cache makes repeated test runs compile-free.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):
