@@ -1,26 +1,33 @@
 """Test configuration.
 
 Tests run on a virtual 8-device CPU mesh so that multi-chip sharding logic
-(jax.sharding.Mesh + shard_map) is exercised without TPU hardware.  The real
-single-chip TPU path is covered by bench.py and the driver's compile checks.
+(jax.sharding.Mesh + shard_map) is exercised without TPU hardware, and so
+that unit tests do not contend for the single tunneled TPU chip.  The real
+TPU path is covered by bench.py and the driver's compile checks.
+
+NOTE: this environment registers an 'axon' TPU plugin from sitecustomize at
+interpreter startup (importing jax), so JAX_PLATFORMS env tweaks are too
+late — we must force the platform through jax.config before any backend
+initialization.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the first backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import pytest  # noqa: E402
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache makes repeated test runs compile-free.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtpu_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
 
 
 def pytest_configure(config):
