@@ -1,14 +1,17 @@
-"""Batched BN254 G1 arithmetic for TPU (JAX), Jacobian coordinates.
+"""Batched BN254 G1 arithmetic for TPU (JAX) — complete projective formulas.
 
 The device-side counterpart of the curve ops the reference takes from
 `halo2curves` and drives through its MSM engine
-(/root/reference/snark-verifier/src/util/msm.rs:259-343).  All ops are
-vectorized over arbitrary leading batch dims.
+(/root/reference/snark-verifier/src/util/msm.rs:259-343).
 
-Representation: a point batch is a pytree ``G1 = {x, y, z}`` of (..., 16)
-uint32 Montgomery limb arrays, Jacobian coordinates (X/Z^2, Y/Z^3).  The
-point at infinity is encoded as Z == 0 (any X, Y); formulas below handle it
-branchlessly with selects, which is what makes them `vmap`/`scan`-safe.
+Representation: homogeneous projective (X:Y:Z) with the identity at
+(0:1:0); a point batch is ``G1 = (x, y, z)`` of (..., 16) uint32 Montgomery
+limb arrays.  Addition/doubling use the Renes–Costello–Batina *complete*
+formulas for a=0 curves (eprint 2015/1060, algorithms 7-9): a single
+branchless formula covers doubling, inverses and the identity — no selects,
+no data-dependent control flow — which is exactly the shape `vmap`, `scan`
+and the XLA scheduler want.  Multiplications by b3 = 3*b = 9 are done with
+additions (9t = 8t + t), cheaper than a field mul.
 """
 
 from __future__ import annotations
@@ -21,14 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from snark_verifier_tpu.ops import field as F
-from snark_verifier_tpu.ops.limbs import NLIMB
 from snark_verifier_tpu.util import bn254
 
 FQ = F.FQ
 
 
 class G1(NamedTuple):
-    """Jacobian point batch; limbs in Montgomery form."""
+    """Projective point batch; limbs in Montgomery form."""
 
     x: jax.Array
     y: jax.Array
@@ -44,7 +46,7 @@ def g1_identity(shape=()) -> G1:
 
 
 def g1_from_affine_ints(points) -> G1:
-    """Host: list/array of (x, y) python-int pairs or None -> device batch."""
+    """Host: list of (x, y) python-int pairs or None -> device batch."""
     xs, ys, zs = [], [], []
     for pt in points:
         if pt is None:
@@ -56,30 +58,24 @@ def g1_from_affine_ints(points) -> G1:
             ys.append(pt[1])
             zs.append(1)
     return G1(
-        jnp.asarray(FQ.encode(xs)), jnp.asarray(FQ.encode(ys)), jnp.asarray(FQ.encode(zs))
+        jnp.asarray(FQ.encode(xs)),
+        jnp.asarray(FQ.encode(ys)),
+        jnp.asarray(FQ.encode(zs)),
     )
 
 
 def g1_to_affine_ints(p: G1):
     """Host: device batch -> list of (x, y) int pairs / None (oracle format)."""
-    x = FQ.decode(np.asarray(p.x))
-    y = FQ.decode(np.asarray(p.y))
-    z = FQ.decode(np.asarray(p.z))
-    flat_x = np.atleast_1d(x)
-    flat_y = np.atleast_1d(y)
-    flat_z = np.atleast_1d(z)
+    x = np.atleast_1d(FQ.decode(np.asarray(p.x)))
+    y = np.atleast_1d(FQ.decode(np.asarray(p.y)))
+    z = np.atleast_1d(FQ.decode(np.asarray(p.z)))
     out = []
-    for xi, yi, zi in zip(flat_x.reshape(-1), flat_y.reshape(-1), flat_z.reshape(-1)):
+    for xi, yi, zi in zip(x.reshape(-1), y.reshape(-1), z.reshape(-1)):
         if zi == 0:
             out.append(None)
         else:
             zinv = bn254.inv_mod(int(zi), bn254.P)
-            out.append(
-                (
-                    int(xi) * zinv * zinv % bn254.P,
-                    int(yi) * zinv * zinv * zinv % bn254.P,
-                )
-            )
+            out.append((int(xi) * zinv % bn254.P, int(yi) * zinv % bn254.P))
     return out
 
 
@@ -99,10 +95,6 @@ def _mul(a, b):
     return F.mont_mul(a, b, FQ)
 
 
-def _sqr(a):
-    return F.mont_mul(a, a, FQ)
-
-
 def _add(a, b):
     return F.add(a, b, FQ)
 
@@ -111,149 +103,138 @@ def _sub(a, b):
     return F.sub(a, b, FQ)
 
 
-def _dbl_fe(a):
-    return F.add(a, a, FQ)
-
-
-@jax.jit
-def g1_double(p: G1) -> G1:
-    """Jacobian doubling (a = 0 curve): 2M + 5S-ish standard formulas.
-
-    dbl-2009-l: A=X^2, B=Y^2, C=B^2, D=2((X+B)^2-A-C), E=3A, F=E^2,
-    X3=F-2D, Y3=E(D-X3)-8C, Z3=2YZ.  Identity (Z=0) maps to Z3=0. ✓
-    """
-    a = _sqr(p.x)
-    b = _sqr(p.y)
-    c = _sqr(b)
-    d = _sub(_sqr(_add(p.x, b)), _add(a, c))
-    d = _dbl_fe(d)
-    e = _add(_dbl_fe(a), a)
-    f = _sqr(e)
-    x3 = _sub(f, _dbl_fe(d))
-    c8 = _dbl_fe(_dbl_fe(_dbl_fe(c)))
-    y3 = _sub(_mul(e, _sub(d, x3)), c8)
-    z3 = _dbl_fe(_mul(p.y, p.z))
-    return G1(x3, y3, z3)
+def _mul_b3(t):
+    """t * 9 via shifts/adds (b3 = 3*b = 9 for y^2 = x^3 + 3)."""
+    t2 = _add(t, t)
+    t4 = _add(t2, t2)
+    t8 = _add(t4, t4)
+    return _add(t8, t)
 
 
 @jax.jit
 def g1_add(p: G1, q: G1) -> G1:
-    """Complete Jacobian addition via add-2007-bl + branchless edge handling.
-
-    Handles p==identity, q==identity, p==q (fall back to double), p==-q
-    (identity) with selects so the op is safe under vmap/scan.
-    """
-    z1z1 = _sqr(p.z)
-    z2z2 = _sqr(q.z)
-    u1 = _mul(p.x, z2z2)
-    u2 = _mul(q.x, z1z1)
-    s1 = _mul(_mul(p.y, q.z), z2z2)
-    s2 = _mul(_mul(q.y, p.z), z1z1)
-    h = _sub(u2, u1)
-    r = _sub(s2, s1)
-
-    same_x = F.is_zero(h)
-    same_y = F.is_zero(r)
-    is_dbl = jnp.logical_and(same_x, same_y)
-    is_inf = jnp.logical_and(same_x, jnp.logical_not(same_y))
-
-    i = _sqr(_dbl_fe(h))
-    j = _mul(h, i)
-    rr = _dbl_fe(r)
-    v = _mul(u1, i)
-    x3 = _sub(_sub(_sqr(rr), j), _dbl_fe(v))
-    y3 = _sub(_mul(rr, _sub(v, x3)), _dbl_fe(_mul(s1, j)))
-    z3 = _mul(_mul(_sub(_sqr(_add(p.z, q.z)), _add(z1z1, z2z2)), h), F.constant(1, FQ, h.shape[:-1]))
-    # z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) * H  — the extra mul by one keeps the
-    # shapes broadcast-consistent when one operand is a scalar constant.
-
-    generic = G1(x3, y3, z3)
-    doubled = g1_double(p)
-
-    out = g1_select(is_dbl, doubled, generic)
-    out = g1_select(is_inf, g1_identity(out.batch_shape), out)
-    out = g1_select(g1_is_identity(q), p, out)
-    out = g1_select(g1_is_identity(p), q, out)
-    return out
+    """Complete projective addition, RCB15 algorithm 7 (a=0, b3=9)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = _mul(x1, x2)
+    t1 = _mul(y1, y2)
+    t2 = _mul(z1, z2)
+    t3 = _mul(_add(x1, y1), _add(x2, y2))
+    t3 = _sub(t3, _add(t0, t1))
+    t4 = _mul(_add(y1, z1), _add(y2, z2))
+    t4 = _sub(t4, _add(t1, t2))
+    x3 = _mul(_add(x1, z1), _add(x2, z2))
+    y3 = _sub(x3, _add(t0, t2))
+    x3 = _add(t0, t0)
+    t0 = _add(x3, t0)
+    t2 = _mul_b3(t2)
+    z3 = _add(t1, t2)
+    t1 = _sub(t1, t2)
+    y3 = _mul_b3(y3)
+    x3 = _sub(_mul(t3, t1), _mul(t4, y3))
+    y3 = _add(_mul(t1, z3), _mul(y3, t0))
+    z3 = _add(_mul(z3, t4), _mul(t0, t3))
+    return G1(x3, y3, z3)
 
 
 @jax.jit
 def g1_add_affine(p: G1, qx, qy, q_is_inf) -> G1:
-    """Mixed addition p (Jacobian) + (qx, qy) affine — saves ~4 muls.
+    """Complete mixed addition (q affine), RCB15 algorithm 8 + identity mask."""
+    x1, y1, z1 = p
+    t0 = _mul(x1, qx)
+    t1 = _mul(y1, qy)
+    t3 = _mul(_add(x1, y1), _add(qx, qy))
+    t3 = _sub(t3, _add(t0, t1))
+    t4 = _add(_mul(qy, z1), y1)
+    y3 = _add(_mul(qx, z1), x1)
+    x3 = _add(t0, t0)
+    t0 = _add(x3, t0)
+    t2 = _mul_b3(z1)
+    z3 = _add(t1, t2)
+    t1 = _sub(t1, t2)
+    y3 = _mul_b3(y3)
+    x3 = _sub(_mul(t3, t1), _mul(t4, y3))
+    y3 = _add(_mul(t1, z3), _mul(y3, t0))
+    z3 = _add(_mul(z3, t4), _mul(t0, t3))
+    out = G1(x3, y3, z3)
+    return g1_select(q_is_inf, p, out)
 
-    madd-2007-bl.  q_is_inf: boolean mask for affine identity entries.
-    """
-    z1z1 = _sqr(p.z)
-    u2 = _mul(qx, z1z1)
-    s2 = _mul(_mul(qy, p.z), z1z1)
-    h = _sub(u2, p.x)
-    r = _sub(s2, p.y)
 
-    same_x = F.is_zero(h)
-    same_y = F.is_zero(r)
-    is_dbl = jnp.logical_and(same_x, same_y)
-    is_inf = jnp.logical_and(same_x, jnp.logical_not(same_y))
-
-    hh = _sqr(h)
-    i = _dbl_fe(_dbl_fe(hh))
-    j = _mul(h, i)
-    rr = _dbl_fe(r)
-    v = _mul(p.x, i)
-    x3 = _sub(_sub(_sqr(rr), j), _dbl_fe(v))
-    y3 = _sub(_mul(rr, _sub(v, x3)), _dbl_fe(_mul(p.y, j)))
-    z3 = _sub(_sqr(_add(p.z, h)), _add(z1z1, hh))
-
-    generic = G1(x3, y3, z3)
-    doubled = g1_double(p)
-    out = g1_select(is_dbl, doubled, generic)
-    out = g1_select(is_inf, g1_identity(out.batch_shape), out)
-    q_jac = G1(qx, qy, F.ones(qx.shape[:-1], FQ))
-    out = g1_select(q_is_inf, p, out)
-    out = g1_select(g1_is_identity(p), g1_select(q_is_inf, p, q_jac), out)
-    return out
+@jax.jit
+def g1_double(p: G1) -> G1:
+    """Complete projective doubling, RCB15 algorithm 9 (a=0, b3=9)."""
+    x, y, z = p
+    t0 = _mul(y, y)
+    z3 = _add(t0, t0)
+    z3 = _add(z3, z3)
+    z3 = _add(z3, z3)
+    t1 = _mul(y, z)
+    t2 = _mul_b3(_mul(z, z))
+    x3 = _mul(t2, z3)
+    y3 = _add(t0, t2)
+    z3 = _mul(t1, z3)
+    t1 = _add(t2, t2)
+    t2 = _add(t1, t2)
+    t0 = _sub(t0, t2)
+    y3 = _add(_mul(t0, y3), x3)
+    t1 = _mul(x, y)
+    x3 = _mul(t0, t1)
+    x3 = _add(x3, x3)
+    return G1(x3, y3, z3)
 
 
 @functools.partial(jax.jit, static_argnums=1)
 def g1_tree_sum(p: G1, axis: int = 0) -> G1:
-    """Sum a batch of points along `axis` by pairwise tree reduction.
+    """Sum a batch of points along `axis` via a fixed-shape log-round fold.
 
-    log2(n) rounds of vectorized g1_add — the reduction primitive under the
-    verifier's small per-proof MSMs.
+    The fold runs as `lax.scan` over the round strides with a ONE-add body,
+    keeping the compiled graph small (the add is instantiated once, not
+    log(n) times).
     """
     p = G1(*(jnp.moveaxis(c, axis, 0) for c in p))
     n = p.x.shape[0]
-    while n > 1:
-        half = n // 2
-        a = G1(p.x[:half], p.y[:half], p.z[:half])
-        b = G1(p.x[half : 2 * half], p.y[half : 2 * half], p.z[half : 2 * half])
-        s = g1_add(a, b)
-        if n % 2:
-            s = G1(
-                jnp.concatenate([s.x, p.x[-1:]], axis=0),
-                jnp.concatenate([s.y, p.y[-1:]], axis=0),
-                jnp.concatenate([s.z, p.z[-1:]], axis=0),
-            )
-        p = s
-        n = p.x.shape[0]
-    return G1(p.x[0], p.y[0], p.z[0])
+    if n == 1:
+        return G1(p.x[0], p.y[0], p.z[0])
+    rounds = int(np.ceil(np.log2(n)))
+    strides = jnp.asarray([1 << r for r in range(rounds)], jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def round_step(cur: G1, stride):
+        partner = jnp.minimum(pos + stride, n - 1)
+        valid = (pos % (2 * stride) == 0) & (pos + stride < n)
+        valid = valid.reshape((n,) + (1,) * (cur.x.ndim - 2))
+        moved = G1(cur.x[partner], cur.y[partner], cur.z[partner])
+        merged = g1_add(cur, moved)
+        return g1_select(valid, merged, cur), None
+
+    out, _ = jax.lax.scan(round_step, p, strides)
+    return G1(out.x[0], out.y[0], out.z[0])
 
 
 def g1_normalize(p: G1) -> G1:
     """Scale to affine (z in {0,1}) with one batched inversion."""
     zinv = F.inv(p.z, FQ)  # 0 -> 0
-    zinv2 = _sqr(zinv)
-    x = _mul(p.x, zinv2)
-    y = _mul(p.y, _mul(zinv, zinv2))
-    z = F.select(F.is_zero(p.z), F.zeros(p.z.shape[:-1]), F.ones(p.z.shape[:-1], FQ))
-    return G1(x, y, z)
+    x = _mul(p.x, zinv)
+    y = _mul(p.y, zinv)
+    is_inf = F.is_zero(p.z)
+    z = F.select(is_inf, F.zeros(p.z.shape[:-1]), F.ones(p.z.shape[:-1], FQ))
+    return G1(x, F.select(is_inf, F.ones(p.z.shape[:-1], FQ), y), z)
 
 
 def g1_is_on_curve(p: G1):
-    """y^2 == x^3 + 3 z^6 (projective form); identity passes."""
-    y2 = _sqr(p.y)
-    x3 = _mul(_sqr(p.x), p.x)
-    z2 = _sqr(p.z)
-    z6 = _mul(_sqr(z2), z2)
-    b_term = _mul(F.constant(bn254.G1_B, FQ, z6.shape[:-1]), z6)
-    ok = F.eq(y2, _add(x3, b_term))
+    """y^2 z == x^3 + 3 z^3 (projective); identity passes."""
+    y2z = _mul(_mul(p.y, p.y), p.z)
+    x3 = _mul(_mul(p.x, p.x), p.x)
+    z3 = _mul(_mul(p.z, p.z), p.z)
+    b_term = _mul(F.constant(bn254.G1_B, FQ, z3.shape[:-1]), z3)
+    ok = F.eq(y2z, _add(x3, b_term))
     return jnp.logical_or(ok, g1_is_identity(p))
+
+
+def g1_eq(p: G1, q: G1):
+    """Projective equality: x1 z2 == x2 z1 and y1 z2 == y2 z1 (plus identity)."""
+    both_inf = jnp.logical_and(g1_is_identity(p), g1_is_identity(q))
+    one_inf = jnp.logical_xor(g1_is_identity(p), g1_is_identity(q))
+    xe = F.eq(_mul(p.x, q.z), _mul(q.x, p.z))
+    ye = F.eq(_mul(p.y, q.z), _mul(q.y, p.z))
+    return jnp.logical_or(both_inf, jnp.logical_and(jnp.logical_and(xe, ye), ~one_inf))

@@ -131,8 +131,9 @@ def _columns(a, b, mat):
     prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) uint32 exact
     lo = (prod & LIMB_MASK).astype(jnp.float32)
     hi = (prod >> LIMB_BITS).astype(jnp.float32)
-    flat = jnp.concatenate(
-        [lo.reshape(*lo.shape[:-2], -1), hi.reshape(*hi.shape[:-2], -1)], axis=-1
+    nn = lo.shape[-1] * lo.shape[-2]  # explicit (not -1): zero-size batches
+    flat = jnp.concatenate(           # appear inside associative_scan
+        [lo.reshape(*lo.shape[:-2], nn), hi.reshape(*hi.shape[:-2], nn)], axis=-1
     )
     # Precision.HIGHEST is required: the default matmul precision computes
     # f32 matmuls via bf16 passes, destroying exactness.  All values stay

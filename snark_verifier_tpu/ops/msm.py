@@ -1,0 +1,234 @@
+"""Multi-scalar multiplication engines for TPU.
+
+TPU-native re-design of the reference's Pippenger MSM
+(/root/reference/snark-verifier/src/util/msm.rs:259-343).  Two regimes:
+
+* `msm_batched` — many independent small MSMs (one per proof in a verify
+  batch; n ~ 15..80 terms).  Uses in-graph 4-bit windowed tables: per batch
+  element the cost is ``14n`` table adds + 64 windows x (4 doublings + a
+  tree-sum of n gathered table entries).  This beats per-term double-and-add
+  (~380 point ops/term) by ~5x and is fully vectorized over the proof batch.
+
+* `msm_serial` — one large MSM (IPA decider / SRS-sized inputs), windowed
+  signed-bucket Pippenger with bucket accumulation by sorted segmented
+  reduction (sort digit keys, tree-combine equal-key runs, then the
+  suffix-scan bucket aggregation).  All shapes static; `lax` control flow.
+
+Scalars enter in **canonical** (non-Montgomery) limb form — the digit
+decomposition reads plain bits.  Use `ops.field.from_mont` first if needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snark_verifier_tpu.ops import curve as C
+from snark_verifier_tpu.ops import field as F
+from snark_verifier_tpu.ops.curve import G1
+from snark_verifier_tpu.ops.limbs import LIMB_BITS, NLIMB
+
+WINDOW = 4
+NWINDOWS = (NLIMB * LIMB_BITS) // WINDOW  # 64 windows of 4 bits
+
+
+def _digits(scalars_canon):
+    """(..., NLIMB) canonical limbs -> (..., NWINDOWS) 4-bit digits, LSB first."""
+    shifts = jnp.arange(0, LIMB_BITS, WINDOW, dtype=jnp.uint32)  # (4,)
+    d = (scalars_canon[..., :, None] >> shifts) & ((1 << WINDOW) - 1)
+    return d.reshape(*scalars_canon.shape[:-1], NWINDOWS)
+
+
+def _build_tables(points: G1):
+    """Table[k] = k * P for k in 0..15; shape (16,) + points.batch_shape.
+
+    Built with a scan (body = one add) so the add graph is compiled once.
+    """
+
+    def step(prev, _):
+        nxt = C.g1_add(prev, points)
+        return nxt, tuple(nxt)
+
+    _, rest = jax.lax.scan(step, points, None, length=(1 << WINDOW) - 2)
+    ident = C.g1_identity(points.batch_shape)
+    return G1(
+        jnp.concatenate([ident.x[None], points.x[None], rest[0]]),
+        jnp.concatenate([ident.y[None], points.y[None], rest[1]]),
+        jnp.concatenate([ident.z[None], points.z[None], rest[2]]),
+    )
+
+
+def _double_n(p: G1, n: int) -> G1:
+    """n successive doublings via scan (body = one double)."""
+
+    def step(cur, _):
+        return C.g1_double(cur), None
+
+    out, _ = jax.lax.scan(step, p, None, length=n)
+    return out
+
+
+@jax.jit
+def msm_batched(points: G1, scalars_canon) -> G1:
+    """Batched small MSM.
+
+    points: G1 with batch shape (..., n); scalars_canon: (..., n, NLIMB)
+    canonical limbs.  Returns G1 with batch shape (...,).
+    """
+    table = _build_tables(points)  # (16, ..., n)
+    digits = _digits(scalars_canon)  # (..., n, 64)
+    digits_t = jnp.moveaxis(digits, -1, 0)[::-1]  # (64, ..., n) MSB-first
+
+    def window_step(acc: G1, dig):
+        acc = _double_n(acc, WINDOW)
+        # gather T[dig_i] for each term i
+        idx = dig[None, ..., None].astype(jnp.int32)  # (1, ..., n, 1)
+        picked = G1(
+            jnp.take_along_axis(table.x, idx, axis=0)[0],
+            jnp.take_along_axis(table.y, idx, axis=0)[0],
+            jnp.take_along_axis(table.z, idx, axis=0)[0],
+        )
+        contrib = C.g1_tree_sum(picked, axis=len(picked.batch_shape) - 1)
+        return C.g1_add(acc, contrib), None
+
+    batch_shape = points.batch_shape[:-1]
+    acc0 = C.g1_identity(batch_shape)
+    acc, _ = jax.lax.scan(window_step, acc0, digits_t)
+    return acc
+
+
+@jax.jit
+def scalar_mul(point: G1, scalar_canon) -> G1:
+    """Single-table windowed scalar multiplication (batched over leading dims)."""
+    p = G1(point.x[..., None, :], point.y[..., None, :], point.z[..., None, :])
+    s = scalar_canon[..., None, :]
+    return msm_batched(p, s)
+
+
+# ---------------------------------------------------------------------------
+# Large-N Pippenger (single MSM) — sort + segmented-scan bucket accumulation.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def msm_serial(points: G1, scalars_canon, window: int = 8) -> G1:
+    """One large MSM over N points, Pippenger with 2^w buckets per window.
+
+    Per window (MSB-first, w doublings between windows):
+      1. extract w-bit digits for all scalars,
+      2. sort points by digit (argsort on the u32 key, one gather),
+      3. bucket sums via a *segmented* inclusive associative scan with the
+         point-add monoid (log2 N levels of vectorized adds),
+      4. scatter each digit-run's final sum into its bucket,
+      5. aggregate sum_b b*S_b with a reverse (suffix) associative scan.
+
+    This is the TPU replacement for the scatter/atomic bucket accumulation a
+    GPU Pippenger uses, mirroring the semantics of util/msm.rs:259-343.
+    """
+    n = points.x.shape[0]
+    nbuckets = 1 << window
+    nwin = (NLIMB * LIMB_BITS + window - 1) // window
+
+    digits = _window_digits(scalars_canon, window, nwin, nbuckets)  # (n, nwin)
+    digits_t = jnp.moveaxis(digits, -1, 0)[::-1]  # (nwin, n) MSB-first
+
+    def window_step(acc: G1, dig):
+        acc = _double_n(acc, window)
+        order = jnp.argsort(dig)
+        sdig = dig[order]
+        pts = G1(points.x[order], points.y[order], points.z[order])
+        pts = C.g1_select(sdig == 0, C.g1_identity((n,)), pts)
+        # segmented inclusive scan: each position ends up holding the sum of
+        # its digit-run prefix; the last position of a run holds the bucket.
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sdig[1:] != sdig[:-1]]
+        ).astype(jnp.uint32)
+
+        bx, by, bz = _segmented_inclusive_scan(pts, seg_start)
+        run_end = jnp.concatenate([sdig[1:] != sdig[:-1], jnp.ones((1,), bool)])
+        # scatter run-end sums to buckets (one run per digit -> disjoint)
+        tgt = jnp.where(run_end, sdig.astype(jnp.int32), nbuckets)
+        # empty buckets must be the valid identity (0 : 1 : 0) — an all-zero
+        # (0:0:0) triple is not a curve point and poisons the RCB formulas.
+        ident = C.g1_identity((nbuckets + 1,))
+        buckets = G1(
+            ident.x.at[tgt].set(bx, mode="drop")[:nbuckets],
+            ident.y.at[tgt].set(by, mode="drop")[:nbuckets],
+            ident.z.at[tgt].set(bz, mode="drop")[:nbuckets],
+        )
+        suffix = _g1_suffix_scan(buckets)
+        # sum_b b * S_b = sum_{b >= 1} suffix_b
+        total = C.g1_tree_sum(G1(suffix.x[1:], suffix.y[1:], suffix.z[1:]))
+        return C.g1_add(acc, total), None
+
+    acc0 = C.g1_identity(())
+    acc, _ = jax.lax.scan(window_step, acc0, digits_t)
+    return acc
+
+
+def _window_digits(scalars_canon, window, nwin, nbuckets):
+    """(n, NLIMB) canonical limbs -> (n, nwin) w-bit digits (LSB-first)."""
+    bit_idx = np.arange(nwin) * window
+    limb_idx = bit_idx // LIMB_BITS
+    shift = bit_idx % LIMB_BITS
+    lo = (scalars_canon[:, limb_idx] >> jnp.asarray(shift, jnp.uint32)) & (nbuckets - 1)
+    carry_bits = LIMB_BITS - shift
+    hi_idx = np.minimum(limb_idx + 1, NLIMB - 1)
+    hi = jnp.where(
+        jnp.asarray(carry_bits < window) & jnp.asarray(hi_idx > limb_idx),
+        (scalars_canon[:, hi_idx] << jnp.asarray(carry_bits % LIMB_BITS, jnp.uint32))
+        & (nbuckets - 1),
+        0,
+    )
+    return (lo | hi).astype(jnp.uint32)
+
+
+def _segmented_inclusive_scan(pts: G1, seg_start):
+    """Hillis–Steele segmented inclusive scan with the point-add monoid.
+
+    Runs as `lax.scan` over log2(n) strides with a ONE-add body so the add
+    graph compiles once (jax's associative_scan would instantiate it at
+    every level).  Returns (x, y, z) arrays where each position holds the sum
+    of its segment's prefix.
+    """
+    n = pts.x.shape[0]
+    rounds = max(1, int(np.ceil(np.log2(n))))
+    strides = jnp.asarray([1 << r for r in range(rounds)], jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def round_step(carry, stride):
+        cur, flag = carry
+        src = jnp.maximum(pos - stride, 0)
+        valid = (pos - stride >= 0) & jnp.logical_not(flag.astype(bool))
+        moved = G1(cur.x[src], cur.y[src], cur.z[src])
+        merged = C.g1_add(moved, cur)
+        nxt = C.g1_select(valid, merged, cur)
+        new_flag = flag | jnp.where(valid, flag[src], jnp.zeros_like(flag))
+        # flag semantics: position i's accumulated range has hit a segment
+        # start; combine: flag_i |= (not flag_i) & flag_src
+        return (nxt, new_flag), None
+
+    (out, _), _ = jax.lax.scan(round_step, (pts, seg_start), strides)
+    return out.x, out.y, out.z
+
+
+def _g1_suffix_scan(buckets: G1) -> G1:
+    """Suffix sums S'_b = sum_{c >= b} S_c via a log-round Hillis–Steele fold."""
+    n = buckets.x.shape[0]
+    rounds = max(1, int(np.ceil(np.log2(n))))
+    strides = jnp.asarray([1 << r for r in range(rounds)], jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def round_step(cur: G1, stride):
+        src = jnp.minimum(pos + stride, n - 1)
+        valid = pos + stride <= n - 1
+        valid = valid.reshape((n,) + (1,) * (cur.x.ndim - 2))
+        moved = G1(cur.x[src], cur.y[src], cur.z[src])
+        merged = C.g1_add(cur, moved)
+        return C.g1_select(valid, merged, cur), None
+
+    out, _ = jax.lax.scan(round_step, buckets, strides)
+    return out

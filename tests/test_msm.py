@@ -1,0 +1,79 @@
+"""MSM engines vs the oracle's naive MSM (util/msm.rs semantics)."""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+from snark_verifier_tpu.ops import curve as C
+from snark_verifier_tpu.ops import field as F
+from snark_verifier_tpu.ops import msm as M
+from snark_verifier_tpu.ops.limbs import ints_to_limbs
+from snark_verifier_tpu.util import bn254 as bn
+
+rng = random.Random(3)
+
+
+def rand_case(n, with_edge=True):
+    pts = [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(n)]
+    scalars = [rng.randrange(bn.R) for _ in range(n)]
+    if with_edge and n >= 3:
+        scalars[0] = 0
+        scalars[1] = 1
+        pts[2] = None  # identity base
+    return pts, scalars
+
+
+def test_msm_batched():
+    B, n = 2, 5
+    cases = [rand_case(n) for _ in range(B)]
+    pts = C.g1_from_affine_ints([p for c in cases for p in c[0]])
+    pts = C.G1(*(v.reshape(B, n, -1) for v in pts))
+    scal = np.stack([ints_to_limbs(c[1]) for c in cases])  # (B, n, 16)
+    out = M.msm_batched(pts, jnp.asarray(scal))
+    got = C.g1_to_affine_ints(out)
+    exp = [bn.g1_msm(c[1], c[0]) for c in cases]
+    assert got == exp
+
+
+def test_scalar_mul():
+    pt = bn.g1_mul(bn.G1_GEN, 987654321)
+    ks = [0, 1, 2, bn.R - 1, rng.randrange(bn.R)]
+    p = C.g1_from_affine_ints([pt] * len(ks))
+    s = jnp.asarray(ints_to_limbs(ks))
+    got = C.g1_to_affine_ints(M.scalar_mul(p, s))
+    exp = [bn.g1_mul(pt, k) for k in ks]
+    assert got == exp
+
+
+def test_msm_serial():
+    n = 37
+    pts, scalars = rand_case(n)
+    p = C.g1_from_affine_ints(pts)
+    s = jnp.asarray(ints_to_limbs(scalars))
+    got = C.g1_to_affine_ints(M.msm_serial(p, s, 8))
+    exp = bn.g1_msm(scalars, pts)
+    assert got[0] == exp
+
+
+def test_msm_serial_straddling_window():
+    # window=5 straddles 16-bit limb boundaries — exercises digit extraction
+    n = 9
+    pts, scalars = rand_case(n, with_edge=False)
+    p = C.g1_from_affine_ints(pts)
+    s = jnp.asarray(ints_to_limbs(scalars))
+    got = C.g1_to_affine_ints(M.msm_serial(p, s, 5))
+    exp = bn.g1_msm(scalars, pts)
+    assert got[0] == exp
+
+
+def test_msm_equal_points_collide():
+    # duplicated points and duplicated scalars stress bucket segmentation
+    pt = bn.g1_mul(bn.G1_GEN, 5)
+    pts = [pt] * 6
+    scalars = [7, 7, 7, 9, 9, bn.R - 1]
+    p = C.g1_from_affine_ints(pts)
+    s = jnp.asarray(ints_to_limbs(scalars))
+    got = C.g1_to_affine_ints(M.msm_serial(p, s, 8))
+    exp = bn.g1_msm(scalars, pts)
+    assert got[0] == exp
