@@ -312,24 +312,88 @@ def g1_double(a):
     return g1_add(a, a)
 
 
-def g1_mul(pt, k):
+# Jacobian helpers: used internally for speed (no per-add inversion); the
+# public API stays affine ((x, y) tuples, None = identity).
+
+
+def _jac_double(p):
+    if p is None:
+        return None
+    x, y, z = p
+    a = x * x % P
+    b = y * y % P
+    c = b * b % P
+    d = 2 * ((x + b) * (x + b) - a - c) % P
+    e = 3 * a % P
+    f = e * e % P
+    x3 = (f - 2 * d) % P
+    y3 = (e * (d - x3) - 8 * c) % P
+    z3 = 2 * y * z % P
+    return (x3, y3, z3)
+
+
+def _jac_add(p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = z1 * z1 % P
+    z2z2 = z2 * z2 % P
+    u1 = x1 * z2z2 % P
+    u2 = x2 * z1z1 % P
+    s1 = y1 * z2 * z2z2 % P
+    s2 = y2 * z1 * z1z1 % P
+    if u1 == u2:
+        if (s1 + s2) % P == 0:
+            return None
+        return _jac_double(p)
+    h = (u2 - u1) % P
+    i = 4 * h * h % P
+    j = h * i % P
+    r = 2 * (s2 - s1) % P
+    v = u1 * i % P
+    x3 = (r * r - j - 2 * v) % P
+    y3 = (r * (v - x3) - 2 * s1 * j) % P
+    z3 = ((z1 + z2) * (z1 + z2) - z1z1 - z2z2) * h % P
+    return (x3, y3, z3)
+
+
+def _to_jac(pt):
+    return None if pt is None else (pt[0], pt[1], 1)
+
+
+def _from_jac(p):
+    if p is None or p[2] == 0:
+        return None
+    zinv = inv_mod(p[2], P)
+    z2 = zinv * zinv % P
+    return (p[0] * z2 % P, p[1] * z2 * zinv % P)
+
+
+def _jac_mul(p, k):
     k %= R
     result = None
-    addend = pt
+    addend = p
     while k:
         if k & 1:
-            result = g1_add(result, addend)
-        addend = g1_add(addend, addend)
+            result = _jac_add(result, addend)
+        addend = _jac_double(addend)
         k >>= 1
     return result
+
+
+def g1_mul(pt, k):
+    return _from_jac(_jac_mul(_to_jac(pt), k))
 
 
 def g1_msm(scalars, points):
     """Naive reference MSM (semantics of util/msm.rs:259-343)."""
     acc = None
     for s, pt in zip(scalars, points):
-        acc = g1_add(acc, g1_mul(pt, s))
-    return acc
+        acc = _jac_add(acc, _jac_mul(_to_jac(pt), s))
+    return _from_jac(acc)
 
 
 # ---------------------------------------------------------------------------
