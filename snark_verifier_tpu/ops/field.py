@@ -168,6 +168,7 @@ def _carry(cols, n_out=None):
 
 def _sub_limbs(a, b):
     """a - b limbwise; returns (result limbs, borrow (uint32 0/1))."""
+    a, b = jnp.broadcast_arrays(a, b)
 
     def step(bor, ab):
         ai, bi = ab
@@ -183,6 +184,8 @@ def _sub_limbs(a, b):
 
 
 def _add_limbs(a, b):
+    a, b = jnp.broadcast_arrays(a, b)
+
     def step(c, ab):
         ai, bi = ab
         t = ai + bi + c
@@ -234,8 +237,7 @@ def neg(a, spec: FieldSpec):
 @functools.partial(jax.jit, static_argnums=2)
 def mont_mul(a, b, spec: FieldSpec):
     """Montgomery product a*b*R^-1 mod p (separated operand scanning)."""
-    a = jnp.asarray(a, jnp.uint32)
-    b = jnp.asarray(b, jnp.uint32)
+    a, b = jnp.broadcast_arrays(jnp.asarray(a, jnp.uint32), jnp.asarray(b, jnp.uint32))
     # T = a * b, exact 32 limbs.
     t_cols = _columns(a, b, _col_matrix())
     t_limbs, t_carry = _carry(t_cols)  # 32 limbs; t_carry must be 0

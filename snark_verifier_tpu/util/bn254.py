@@ -580,6 +580,40 @@ def final_exponentiation(f):
     return fq12_pow(f, (P**12 - 1) // R)
 
 
+def final_exponentiation_chain(f):
+    """Easy part + Scott-et-al. hard-part addition chain; equals the naive
+    exponentiation (validated in tests) at ~300 Fq12 ops instead of ~6000.
+    This is the template for the device kernel (ops/pairing.py)."""
+    # easy: f^((p^6-1)(p^2+1))
+    f = fq12_mul(fq12_conj(f), fq12_inv(f))
+    f = fq12_mul(fq12_frob(f, 2), f)
+    # hard: f^((p^4-p^2+1)/r)
+    fp = fq12_frob(f, 1)
+    fp2 = fq12_frob(f, 2)
+    fp3 = fq12_frob(fp2, 1)
+    fu = fq12_pow(f, BN_X)
+    fu2 = fq12_pow(fu, BN_X)
+    fu3 = fq12_pow(fu2, BN_X)
+    y3 = fq12_conj(fq12_frob(fu, 1))
+    fu2p = fq12_frob(fu2, 1)
+    fu3p = fq12_frob(fu3, 1)
+    y2 = fq12_frob(fu2, 2)
+    y0 = fq12_mul(fq12_mul(fp, fp2), fp3)
+    y1 = fq12_conj(f)
+    y4 = fq12_conj(fq12_mul(fu, fu2p))
+    y5 = fq12_conj(fu2)
+    y6 = fq12_conj(fq12_mul(fu3, fu3p))
+    t0 = fq12_mul(fq12_mul(fq12_sqr(y6), y4), y5)
+    t1 = fq12_mul(fq12_mul(y3, y5), t0)
+    t0 = fq12_mul(t0, y2)
+    t1 = fq12_mul(fq12_sqr(t1), t0)
+    t1 = fq12_sqr(t1)
+    t0 = fq12_mul(t1, y1)
+    t1 = fq12_mul(t1, y0)
+    t0 = fq12_sqr(t0)
+    return fq12_mul(t0, t1)
+
+
 def pairing(p, q):
     """e(p in G1, q in G2) with full final exponentiation (reference oracle)."""
     return final_exponentiation(miller_loop(p, q))
