@@ -143,28 +143,50 @@ def _fq12_pow_scan(a, exponent: int):
     return out
 
 
-_HARD_EXP = (bn254.P**4 - bn254.P**2 + 1) // bn254.R
+_FULL_EXP = (bn254.P**12 - 1) // bn254.R
 
 
 def final_exponentiation(f, shape=()):
-    """f^((p^12-1)/r): cheap easy part, then one scanned exponentiation by
-    the ~1020-bit hard exponent (p^4 - p^2 + 1)/r."""
-    f = T.fq12_mul(T.fq12_conj(f), T.fq12_inv(f))
-    f = T.fq12_mul(T.fq12_frob(f, 2, shape), f)
-    return _fq12_pow_scan(f, _HARD_EXP)
+    """f^((p^12-1)/r) as ONE scanned exponentiation by the full ~3055-bit
+    exponent.
+
+    The easy-part/hard-part split (inversion, Frobenius maps, addition
+    chains — see util/bn254.py final_exponentiation_chain) is ~3x cheaper at
+    runtime but instantiates dozens of Fq12 ops inline, which multiplies XLA
+    compile time by minutes; the single scan keeps the compiled graph at one
+    square-and-multiply body.  Deciding runs once per folded batch, so
+    runtime here is not on the throughput path.
+    """
+    del shape
+    return _fq12_pow_scan(f, _FULL_EXP)
 
 
-def _kzg_check_impl(lhs_x, lhs_y, lhs_inf, rhs_x, rhs_y, rhs_inf, g2_key, neg_sg2_key):
-    shape = lhs_x.shape[:-1]
-    f1 = miller_loop_const_q(lhs_x, lhs_y, g2_key)
-    f2 = miller_loop_const_q(rhs_x, rhs_y, neg_sg2_key)
+@functools.partial(jax.jit, static_argnums=2)
+def _miller_stage(px, py, q_key):
+    return miller_loop_const_q(px, py, _key_to_g2(q_key))
+
+
+@jax.jit
+def _combine_stage(f1, f2, lhs_inf, rhs_inf):
+    shape = lhs_inf.shape
     one = T.fq12_ones(shape)
-    # points at infinity contribute the neutral element
-    f1 = T.fq12_select(lhs_inf, jax.tree.map(lambda o, x: jnp.broadcast_to(o, x.shape), one, f1), f1)
-    f2 = T.fq12_select(rhs_inf, jax.tree.map(lambda o, x: jnp.broadcast_to(o, x.shape), one, f2), f2)
-    f = T.fq12_mul(f1, f2)
-    out = final_exponentiation(f, shape)
-    return T.fq12_is_one(out, shape)
+
+    def neutralize(f, inf):
+        return T.fq12_select(
+            inf, jax.tree.map(lambda o, x: jnp.broadcast_to(o, x.shape), one, f), f
+        )
+
+    return T.fq12_mul(neutralize(f1, lhs_inf), neutralize(f2, rhs_inf))
+
+
+@jax.jit
+def _final_exp_stage(f):
+    return final_exponentiation(f)
+
+
+@jax.jit
+def _is_one_stage(f, lhs_inf):
+    return T.fq12_is_one(f, lhs_inf.shape)
 
 
 def kzg_pairing_check(lhs, rhs, g2, s_g2):
@@ -172,23 +194,18 @@ def kzg_pairing_check(lhs, rhs, g2, s_g2):
 
     g2 / s_g2 are host-side constant G2 int tuples (the deciding key).
     Returns a boolean mask over the batch.
+
+    NOTE: deliberately composed of several separately-jitted stages rather
+    than one jit — XLA's compile time on the fused Miller+final-exp graph is
+    pathological (tens of minutes) while the stages compile in seconds each.
+    Do not wrap this in an outer jit.
     """
     lhs_n = CRV.g1_normalize(lhs)
     rhs_n = CRV.g1_normalize(rhs)
-    return _kzg_check(
-        lhs_n.x,
-        lhs_n.y,
-        CRV.g1_is_identity(lhs),
-        rhs_n.x,
-        rhs_n.y,
-        CRV.g1_is_identity(rhs),
-        _g2_key(g2),
-        _g2_key(bn254.g2_neg(s_g2)),
-    )
-
-
-@functools.partial(jax.jit, static_argnums=(6, 7))
-def _kzg_check(lhs_x, lhs_y, lhs_inf, rhs_x, rhs_y, rhs_inf, g2_key, neg_sg2_key):
-    return _kzg_check_impl(
-        lhs_x, lhs_y, lhs_inf, rhs_x, rhs_y, rhs_inf, g2_key, neg_sg2_key
-    )
+    lhs_inf = CRV.g1_is_identity(lhs)
+    rhs_inf = CRV.g1_is_identity(rhs)
+    f1 = _miller_stage(lhs_n.x, lhs_n.y, _g2_key(g2))
+    f2 = _miller_stage(rhs_n.x, rhs_n.y, _g2_key(bn254.g2_neg(s_g2)))
+    f = _combine_stage(f1, f2, lhs_inf, rhs_inf)
+    out = _final_exp_stage(f)
+    return _is_one_stage(out, lhs_inf)
