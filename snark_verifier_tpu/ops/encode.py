@@ -44,6 +44,18 @@ def reduce_u256(limbs, spec):
     return x
 
 
+def le_bytes_to_limbs(data):
+    """(..., 32) LE byte values -> (..., 16) canonical limbs."""
+    b = data.reshape(*data.shape[:-1], NLIMB, 2)
+    return (b[..., 0] | (b[..., 1] << 8)).astype(jnp.uint32)
+
+
+def limbs_to_le_bytes(limbs):
+    lo = limbs & 0xFF
+    hi = (limbs >> 8) & 0xFF
+    return jnp.stack([lo, hi], axis=-1).reshape(*limbs.shape[:-1], 2 * NLIMB)
+
+
 def is_lt_modulus(limbs, spec):
     """Boolean (...,): value < modulus (canonical encoding check)."""
     _, borrow = F._sub_limbs(limbs, jnp.broadcast_to(jnp.asarray(spec.mod_limbs), limbs.shape))

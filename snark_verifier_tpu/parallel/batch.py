@@ -19,13 +19,16 @@ from snark_verifier_tpu.loader import Scalar
 from snark_verifier_tpu.loader.jax_loader import JaxLoader
 from snark_verifier_tpu.ops import field as F
 from snark_verifier_tpu.ops.limbs import ints_to_limbs
-from snark_verifier_tpu.system.halo2.transcript_jax import JaxEvmTranscript
+from snark_verifier_tpu.system.halo2.transcript_jax import (
+    JaxEvmTranscript,
+    JaxPoseidonTranscript,
+)
 from snark_verifier_tpu.verifier.plonk import PlonkSuccinctVerifier
 
 FR = F.FR
 
 
-def build_verifier(protocol, As, svk, decide_dk=None):
+def build_verifier(protocol, As, svk, decide_dk=None, transcript_kind: str = "evm"):
     """Returns a jittable `fn(proof_bytes, instances) -> result dict`.
 
     proof_bytes: (B, L) uint32 byte values; instances: (B, total, 16)
@@ -53,7 +56,11 @@ def build_verifier(protocol, As, svk, decide_dk=None):
             )
             off += n
 
-        transcript = JaxEvmTranscript(proof_bytes, loader)
+        transcript = (
+            JaxEvmTranscript(proof_bytes, loader)
+            if transcript_kind == "evm"
+            else JaxPoseidonTranscript(proof_bytes, loader)
+        )
         proof = verifier.read_proof(svk, loaded, cols, transcript)
         accumulators = verifier.verify(svk, loaded, cols, proof)
 

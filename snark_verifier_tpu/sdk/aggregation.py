@@ -1,0 +1,75 @@
+"""Proof aggregation: the native pre-pass of the reference's
+AggregationCircuit (snark-verifier-sdk/src/halo2/aggregation.rs:51-247).
+
+`aggregate_native` verifies each snark succinctly (Poseidon transcript),
+folds the resulting KZG accumulators with the accumulation scheme, and
+returns the folded accumulator together with its 4x68-bit limb encoding —
+the public-instance format of an aggregation circuit
+(accumulator_indices = (0, 0..16), aggregation.rs:387-402).
+
+The in-circuit constraint-generating interpreter (Halo2Loader) is CPU-bound
+halo2 circuit synthesis, out of TPU-compute scope; its verification-side
+parity requirement is exactly this native accumulator math plus the device
+decider.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from snark_verifier_tpu.loader.native import NativeLoader
+from snark_verifier_tpu.pcs.kzg import KzgAsProvingKey
+from snark_verifier_tpu.pcs.kzg.accumulator import (
+    KzgAccumulator,
+    accumulator_to_limbs,
+)
+from snark_verifier_tpu.system.halo2.transcript import NativePoseidonTranscript
+from snark_verifier_tpu.verifier.plonk import PlonkSuccinctVerifier
+
+
+@dataclass
+class AggregationResult:
+    accumulator: KzgAccumulator
+    as_proof: bytes  # accumulation-scheme proof (empty if single snark)
+    instances: list  # 16 Fr ints: the accumulator limbs
+    snark_accumulators: list
+
+
+def aggregate_native(As, svk, snarks, as_pk: KzgAsProvingKey | None = None, rng=None):
+    """Fold the accumulators of `snarks` (aggregation.rs:195-247).
+
+    As: KzgGwc | KzgShplonk; svk: the SRS G1 generator; snarks: [sdk.Snark]
+    proved with the Poseidon transcript.
+    """
+    loader = NativeLoader()
+    verifier = PlonkSuccinctVerifier(As)
+
+    accumulators = []
+    for snark in snarks:
+        loaded = snark.protocol.loaded(loader)
+        instances = [[loader.load_const(v) for v in col] for col in snark.instances]
+        transcript = NativePoseidonTranscript(snark.proof, loader)
+        proof = verifier.read_proof(svk, loaded, instances, transcript)
+        accumulators.extend(verifier.verify(svk, loaded, instances, proof))
+
+    as_pk = as_pk or KzgAsProvingKey()
+    if len(accumulators) == 1:
+        accumulator, as_proof = accumulators[0], b""
+    else:
+        transcript = NativePoseidonTranscript()
+        accumulator = As.create_proof(as_pk, accumulators, transcript, rng)
+        as_proof = transcript.finalize()
+
+    return AggregationResult(
+        accumulator=accumulator,
+        as_proof=as_proof,
+        instances=accumulator_to_limbs(accumulator),
+        snark_accumulators=accumulators,
+    )
+
+
+def verify_aggregation(As, vk, accumulators, as_proof: bytes) -> KzgAccumulator:
+    """Verifier side of the fold (KzgAs::verify through a read transcript)."""
+    transcript = NativePoseidonTranscript(as_proof)
+    proof = As.as_read_proof(vk, accumulators, transcript)
+    return As.as_verify(vk, accumulators, proof)

@@ -13,7 +13,10 @@ from dataclasses import dataclass
 from snark_verifier_tpu.loader.native import NativeLoader
 from snark_verifier_tpu.pcs.kzg import KzgGwc, KzgShplonk
 from snark_verifier_tpu.system.halo2.prover import create_proof
-from snark_verifier_tpu.system.halo2.transcript import NativeEvmTranscript
+from snark_verifier_tpu.system.halo2.transcript import (
+    NativeEvmTranscript,
+    NativePoseidonTranscript,
+)
 from snark_verifier_tpu.verifier.plonk import PlonkVerifier
 
 _CACHE_DIR = os.environ.get(
@@ -34,18 +37,24 @@ def scheme_class(scheme: str):
     return {"gwc": KzgGwc, "shplonk": KzgShplonk}[scheme]
 
 
-def gen_proof(pk, instances, scheme: str = "gwc", cache_name: str | None = None) -> bytes:
+def gen_proof(
+    pk,
+    instances,
+    scheme: str = "gwc",
+    cache_name: str | None = None,
+    transcript_kind: str = "evm",
+) -> bytes:
     path = (
-        os.path.join(_CACHE_DIR, f"proof_{cache_name}_{scheme}.pkl")
+        os.path.join(_CACHE_DIR, f"proof_{cache_name}_{scheme}_{transcript_kind}.pkl")
         if cache_name
         else None
     )
     if path and os.path.exists(path):
         with open(path, "rb") as f:
             proof = pickle.load(f)
-        if _verifies(pk, instances, proof, scheme):
+        if _verifies(pk, instances, proof, scheme, transcript_kind):
             return proof
-    proof = create_proof(pk, instances, scheme)
+    proof = create_proof(pk, instances, scheme, transcript_kind)
     if path:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         with open(path, "wb") as f:
@@ -53,18 +62,32 @@ def gen_proof(pk, instances, scheme: str = "gwc", cache_name: str | None = None)
     return proof
 
 
-def gen_snark(pk, instances, scheme: str = "gwc", cache_name: str | None = None) -> Snark:
-    return Snark(pk.protocol, instances, gen_proof(pk, instances, scheme, cache_name))
+def gen_snark(
+    pk,
+    instances,
+    scheme: str = "gwc",
+    cache_name: str | None = None,
+    transcript_kind: str = "evm",
+) -> Snark:
+    return Snark(
+        pk.protocol,
+        instances,
+        gen_proof(pk, instances, scheme, cache_name, transcript_kind),
+    )
 
 
-def _verifies(pk, instances, proof, scheme) -> bool:
+def _verifies(pk, instances, proof, scheme, transcript_kind: str = "evm") -> bool:
     try:
         loader = NativeLoader()
         verifier = PlonkVerifier(scheme_class(scheme))
         dk = pk.srs.decider_key()
         loaded = pk.protocol.loaded(loader)
         ins = [[loader.load_const(v) for v in col] for col in instances]
-        transcript = NativeEvmTranscript(proof, loader)
+        transcript = (
+            NativeEvmTranscript(proof, loader)
+            if transcript_kind == "evm"
+            else NativePoseidonTranscript(proof, loader)
+        )
         p = verifier.read_proof(dk, loaded, ins, transcript)
         return verifier.verify(dk, loaded, ins, p) is True
     except Exception:

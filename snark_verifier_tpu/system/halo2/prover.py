@@ -12,7 +12,10 @@ protocol's Expression AST over a coset evaluation domain.
 from __future__ import annotations
 
 from snark_verifier_tpu.loader import EcPoint, Scalar
-from snark_verifier_tpu.system.halo2.transcript import NativeEvmTranscript
+from snark_verifier_tpu.system.halo2.transcript import (
+    NativeEvmTranscript,
+    NativePoseidonTranscript,
+)
 from snark_verifier_tpu.util import bn254
 from snark_verifier_tpu.util import poly as up
 from snark_verifier_tpu.verifier.plonk.protocol import Rotation
@@ -20,12 +23,16 @@ from snark_verifier_tpu.verifier.plonk.protocol import Rotation
 R = bn254.R
 
 
-def create_proof(pk, instances, scheme: str = "gwc") -> bytes:
+def create_proof(
+    pk, instances, scheme: str = "gwc", transcript_kind: str = "evm"
+) -> bytes:
     protocol = pk.protocol
     domain = protocol.domain
     n = domain.n
 
-    transcript = NativeEvmTranscript()
+    transcript = (
+        NativeEvmTranscript() if transcript_kind == "evm" else NativePoseidonTranscript()
+    )
     loader = transcript.loader()
 
     if protocol.transcript_initial_state is not None:

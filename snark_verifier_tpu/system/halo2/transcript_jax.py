@@ -100,3 +100,85 @@ class JaxEvmTranscript(TranscriptRead):
         pt = JaxPoint(x, y, inf)
         self._loader.require(CRV.g1_is_on_curve(pt.as_proj()))
         return EcPoint(self._loader, pt)
+
+
+class JaxPoseidonTranscript(TranscriptRead):
+    """Poseidon transcript, JAX interpreter.
+
+    Same wire/absorption semantics as NativePoseidonTranscript: scalars are
+    32-byte LE; points 32-byte compressed (y recovered in-graph by a sqrt
+    exponentiation, validity folded into the loader's ok-mask); absorbed
+    points contribute [x mod r, y mod r].
+    """
+
+    def __init__(self, proof_bytes, loader: JaxLoader, spec=None):
+        from snark_verifier_tpu.ops.poseidon import JaxPoseidonSponge
+        from snark_verifier_tpu.util.poseidon import default_spec
+
+        self._loader = loader
+        self.stream = proof_bytes
+        self.cursor = 0
+        self.sponge = JaxPoseidonSponge(spec or default_spec(), loader.batch_shape)
+
+    def loader(self):
+        return self._loader
+
+    def _take(self, nbytes):
+        data = self.stream[..., self.cursor : self.cursor + nbytes]
+        assert data.shape[-1] == nbytes, "proof stream too short"
+        self.cursor += nbytes
+        return data
+
+    def squeeze_challenge(self) -> Scalar:
+        out = self.sponge.squeeze()
+        full = self._loader.batch_shape + (out.shape[-1],)
+        return Scalar(self._loader, jnp.broadcast_to(out, full))
+
+    def common_scalar(self, scalar: Scalar):
+        full = self._loader.batch_shape + (scalar.value.shape[-1],)
+        self.sponge.update([jnp.broadcast_to(scalar.value, full)])
+
+    def common_ec_point(self, ec_point: EcPoint):
+        pt = ec_point.value.as_affine()
+        if pt.is_inf is not None:
+            self._loader.require(jnp.logical_not(pt.is_inf))
+        # absorb x mod r, y mod r (fe_to_fe): convert Fq -> canonical ->
+        # reduce mod r -> Fr Montgomery
+        for coord in (pt.x, pt.y):
+            canon = F.from_mont(coord, FQ)
+            fr = ENC.reduce_u256(canon, FR)
+            full = self._loader.batch_shape + (fr.shape[-1],)
+            self.sponge.update(
+                [jnp.broadcast_to(F.to_mont(fr, FR), full)]
+            )
+
+    def read_scalar(self) -> Scalar:
+        data = self._take(32)
+        limbs = ENC.le_bytes_to_limbs(data)
+        self._loader.require(ENC.is_lt_modulus(limbs, FR))
+        s = Scalar(self._loader, F.to_mont(limbs, FR))
+        self.common_scalar(s)
+        return s
+
+    def read_ec_point(self) -> EcPoint:
+        data = self._take(32)
+        parity = (data[..., 31] >> 7) & 1
+        x_bytes = jnp.concatenate(
+            [data[..., :31], (data[..., 31:32] & 0x7F)], axis=-1
+        )
+        xl = ENC.le_bytes_to_limbs(x_bytes)
+        self._loader.require(ENC.is_lt_modulus(xl, FQ))
+        x = F.to_mont(xl, FQ)
+        # y = sqrt(x^3 + 3); p = 3 mod 4 so sqrt = c^((p+1)/4)
+        x3 = F.mont_mul(F.mont_mul(x, x, FQ), x, FQ)
+        c = F.add(x3, F.constant(bn254.G1_B, FQ, x.shape[:-1]), FQ)
+        y = F.pow_const(c, (bn254.P + 1) // 4, FQ)
+        self._loader.require(F.eq(F.mont_mul(y, y, FQ), c))
+        # match requested parity on the canonical representative
+        y_canon = F.from_mont(y, FQ)
+        y_neg = F.neg(y, FQ)
+        pick_neg = (y_canon[..., 0] & 1) != parity
+        y = F.select(pick_neg, y_neg, y)
+        pt = JaxPoint(x, y, jnp.zeros(x.shape[:-1], bool))
+        self.common_ec_point(EcPoint(self._loader, pt))
+        return EcPoint(self._loader, pt)

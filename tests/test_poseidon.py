@@ -1,0 +1,141 @@
+"""Poseidon: oracle self-consistency, JAX vs oracle bit-exactness, and the
+Poseidon-transcript prove/verify path (native + JAX)."""
+
+import jax
+import numpy as np
+import pytest
+
+from snark_verifier_tpu.ops import field as F
+from snark_verifier_tpu.util import bn254 as bn
+from snark_verifier_tpu.util.poseidon import (
+    PoseidonSponge,
+    default_spec,
+    permutation,
+)
+
+FR = F.FR
+
+
+def test_sponge_semantics():
+    spec = default_spec()
+    s1 = PoseidonSponge(spec)
+    s1.update([1, 2, 3])
+    c1 = s1.squeeze()
+    # same inputs -> same challenge; different -> different
+    s2 = PoseidonSponge(spec)
+    s2.update([1, 2, 3])
+    assert s2.squeeze() == c1
+    s3 = PoseidonSponge(spec)
+    s3.update([1, 2, 4])
+    assert s3.squeeze() != c1
+    # exact multiple of rate triggers the extra padding permutation
+    s4 = PoseidonSponge(spec)
+    s4.update([5, 6, 7, 8])
+    c4 = s4.squeeze()
+    s5 = PoseidonSponge(spec)
+    s5.update([5, 6, 7, 8, 0])
+    assert s5.squeeze() != c4
+
+
+def test_jax_permutation_matches_oracle():
+    import jax.numpy as jnp
+
+    from snark_verifier_tpu.ops import poseidon as JP
+
+    spec = default_spec()
+    state_ints = [7, 11, 13, 17, 19]
+    inputs_ints = [23, 29]
+    exp = permutation(spec, state_ints, inputs_ints)
+
+    state = jnp.asarray(FR.encode(state_ints))[None]  # (1, t, 16)
+    inputs = [jnp.asarray(FR.encode([v]))[None, 0] for v in inputs_ints]
+    got_arr = JP.permutation(spec, state, inputs)
+    got = [int(FR.decode(np.asarray(got_arr)[0, i])) for i in range(spec.t)]
+    assert got == exp
+
+
+def test_jax_sponge_matches_oracle():
+    import jax.numpy as jnp
+
+    from snark_verifier_tpu.ops.poseidon import JaxPoseidonSponge
+
+    spec = default_spec()
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    s = PoseidonSponge(spec)
+    s.update(vals)
+    exp1 = s.squeeze()
+    s.update([27])
+    exp2 = s.squeeze()
+
+    js = JaxPoseidonSponge(spec, (2,))
+    enc = lambda v: jnp.broadcast_to(jnp.asarray(FR.encode([v])[0]), (2, 16))
+    js.update([enc(v) for v in vals])
+    got1 = js.squeeze()
+    js.update([enc(27)])
+    got2 = js.squeeze()
+    assert int(FR.decode(np.asarray(got1)[0])) == exp1
+    assert int(FR.decode(np.asarray(got2)[1])) == exp2
+
+
+@pytest.mark.parametrize("scheme", ["gwc", "shplonk"])
+def test_poseidon_proof_native_verify(scheme):
+    from snark_verifier_tpu.pcs.kzg import KzgGwc, KzgShplonk
+    from snark_verifier_tpu.loader.native import NativeLoader
+    from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+    from snark_verifier_tpu.system.halo2.transcript import NativePoseidonTranscript
+    from snark_verifier_tpu.sdk import gen_proof
+    from snark_verifier_tpu.verifier.plonk import PlonkVerifier
+
+    srs = gen_srs(4)
+    protocol, pk = build_standard_plonk(4, srs)
+    proof = gen_proof(pk, [[321]], scheme, transcript_kind="poseidon")
+
+    loader = NativeLoader()
+    As = KzgGwc if scheme == "gwc" else KzgShplonk
+    verifier = PlonkVerifier(As)
+    dk = srs.decider_key()
+    loaded = protocol.loaded(loader)
+    ins = [[loader.load_const(321)]]
+    transcript = NativePoseidonTranscript(proof, loader)
+    p = verifier.read_proof(dk, loaded, ins, transcript)
+    assert verifier.verify(dk, loaded, ins, p) is True
+
+
+def test_poseidon_jax_matches_native():
+    from snark_verifier_tpu.parallel.batch import (
+        build_verifier,
+        decode_accumulator,
+        pack_instances,
+        pack_proofs,
+    )
+    from snark_verifier_tpu.pcs.kzg import KzgGwc
+    from snark_verifier_tpu.loader.native import NativeLoader
+    from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+    from snark_verifier_tpu.system.halo2.transcript import NativePoseidonTranscript
+    from snark_verifier_tpu.sdk import gen_proof
+    from snark_verifier_tpu.verifier.plonk import PlonkSuccinctVerifier
+
+    srs = gen_srs(4)
+    protocol, pk = build_standard_plonk(4, srs)
+    instances_list = [[[42]], [[43]]]
+    proofs = [
+        gen_proof(pk, ins, "gwc", transcript_kind="poseidon") for ins in instances_list
+    ]
+
+    fn = jax.jit(build_verifier(protocol, KzgGwc, srs.g[0], transcript_kind="poseidon"))
+    out = fn(pack_proofs(proofs), pack_instances(instances_list))
+
+    loader = NativeLoader()
+    verifier = PlonkSuccinctVerifier(KzgGwc)
+    for i, ins_i in enumerate(instances_list):
+        loaded = protocol.loaded(loader)
+        ins = [[loader.load_const(v) for v in col] for col in ins_i]
+        transcript = NativePoseidonTranscript(proofs[i], loader)
+        p = verifier.read_proof(srs.g[0], loaded, ins, transcript)
+        accs = verifier.verify(srs.g[0], loaded, ins, p)
+        assert bool(out["ok"][i])
+        lhs_j, rhs_j = decode_accumulator(out, i)
+        assert lhs_j == accs[0].lhs.value
+        assert rhs_j == accs[0].rhs.value
