@@ -158,6 +158,7 @@ class Constant(Expression):
         return []
 
 
+@dataclass(frozen=True)
 class CommonIdentity(Expression):
     """The identity polynomial X (evaluates to the query point z)."""
 
