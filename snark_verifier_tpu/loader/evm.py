@@ -1,0 +1,226 @@
+"""EvmLoader: staged interpreter emitting an EVM (Yul) verifier.
+
+Parity with the reference's loader/evm/loader.rs: running the loader-generic
+PLONK verifier with this backend *unrolls* the whole verification into
+straight-line Yul — scalar ops become addmod/mulmod, EC ops become calls to
+the ecAdd/ecMul/modexp/ecPairing precompiles (0x05-0x08), transcript
+squeezes become keccak256 over the memory transcript buffer — wrapped into a
+Halo2Verifier contract (loader/evm/code.rs).
+
+Alongside the Yul text the loader records an IR (list of ops) so the
+generated program can be *executed* in-process by loader/evm_interp.py (the
+role revm plays for the reference, loader/evm/util/executor.rs) — no solc
+needed to test that a generated verifier accepts/rejects calldata.
+
+Design deltas vs the reference (documented, not accidental):
+* scalar expressions are materialized eagerly into memory slots (the
+  reference defers Sum/Product nodes with CSE, loader.rs:220-249) — more
+  mstores/gas, same semantics;
+* batch inversion emits one modexp per inverse rather than the generated
+  Montgomery-trick block (loader.rs:827-899).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from snark_verifier_tpu.loader import EcPoint, Loader, Scalar
+from snark_verifier_tpu.util import bn254
+
+MEM_START = 0x80
+
+
+class EvmLoader(Loader):
+    def __init__(self):
+        self.ptr = MEM_START
+        self.ir = []  # executed + rendered
+        self.num_instance = 0
+        self.proof_cd_offset = 0  # calldata offset where the proof begins
+
+    # -- memory / code helpers ----------------------------------------------
+    def allocate(self, size: int) -> int:
+        ptr = self.ptr
+        self.ptr += size
+        return ptr
+
+    def emit(self, op):
+        self.ir.append(op)
+
+    # -- scalar ops (mod r) ---------------------------------------------------
+    def load_const(self, value: int) -> Scalar:
+        return Scalar(self, ("const", value % bn254.R))
+
+    def _materialize(self, s: Scalar) -> int:
+        """Ensure the scalar lives in memory; returns its pointer."""
+        kind = s.value[0]
+        if kind == "mem":
+            return s.value[1]
+        ptr = self.allocate(0x20)
+        self.emit(("mstore", ptr, s.value))
+        s.value = ("mem", ptr)
+        return ptr
+
+    def _expr(self, s: Scalar):
+        if s.value[0] == "mem":
+            return ("mload", s.value[1])
+        return s.value  # ("const", v)
+
+    def _binop(self, op, a: Scalar, b: Scalar, modulus: str) -> Scalar:
+        if a.value[0] == "const" and b.value[0] == "const":
+            x, y = a.value[1], b.value[1]
+            m = bn254.R if modulus == "r" else bn254.P
+            v = {"addmod": x + y, "mulmod": x * y}[op] % m
+            return Scalar(self, ("const", v))
+        ptr = self.allocate(0x20)
+        self.emit(("mstore", ptr, (op, self._expr(a), self._expr(b), modulus)))
+        return Scalar(self, ("mem", ptr))
+
+    def add(self, a, b):
+        return self._binop("addmod", a, b, "r")
+
+    def mul(self, a, b):
+        return self._binop("mulmod", a, b, "r")
+
+    def neg(self, a):
+        if a.value[0] == "const":
+            return Scalar(self, ("const", (-a.value[1]) % bn254.R))
+        ptr = self.allocate(0x20)
+        # -x = x * (r - 1) mod r (canonical output)
+        self.emit(
+            ("mstore", ptr, ("mulmod", self._expr(a), ("const", bn254.R - 1), "r"))
+        )
+        return Scalar(self, ("mem", ptr))
+
+    def sub(self, a, b):
+        return self.add(a, self.neg(b))
+
+    def invert(self, a):
+        scratch = self.allocate(0xC0)  # modexp precompile input staging
+        ptr = self.allocate(0x20)
+        self.emit(("modexp_inv", ptr, self._expr(a), scratch))
+        return Scalar(self, ("mem", ptr))
+
+    def assert_eq(self, annotation, lhs, rhs):
+        self.emit(("require_eq", self._expr(lhs), self._expr(rhs), annotation))
+
+    # -- EC ops ---------------------------------------------------------------
+    # EcPoint.value: ("mem", x_ptr, y_ptr) or ("const", (x, y)).  Constants
+    # stay symbolic until used so the transcript's memory buffer remains
+    # contiguous during the read phase (the reference's Value::Constant,
+    # loader/evm/loader.rs:29-35).
+    def ec_point_load_const(self, point) -> EcPoint:
+        assert point is not None, "identity constants not representable"
+        return EcPoint(self, ("const", (point[0], point[1])))
+
+    def _point_ptrs(self, p: EcPoint):
+        if p.value[0] == "mem":
+            return p.value[1], p.value[2]
+        x, y = p.value[1]
+        xp = self.allocate(0x20)
+        yp = self.allocate(0x20)
+        self.emit(("mstore", xp, ("const", x)))
+        self.emit(("mstore", yp, ("const", y)))
+        p.value = ("mem", xp, yp)
+        return xp, yp
+
+    def ec_point_assert_eq(self, annotation, lhs, rhs):
+        lx, ly = self._point_ptrs(lhs)
+        rx, ry = self._point_ptrs(rhs)
+        self.emit(("require_eq", ("mload", lx), ("mload", rx), annotation + ".x"))
+        self.emit(("require_eq", ("mload", ly), ("mload", ry), annotation + ".y"))
+
+    def ec_add(self, a: EcPoint, b: EcPoint) -> EcPoint:
+        ax, ay = self._point_ptrs(a)
+        bx, by = self._point_ptrs(b)
+        scratch = self.allocate(0x80)  # ecAdd precompile input staging
+        out = self.allocate(0x40)
+        self.emit(("ecadd", out, ax, ay, bx, by, scratch))
+        return EcPoint(self, ("mem", out, out + 0x20))
+
+    def ec_mul(self, p: EcPoint, s: Scalar) -> EcPoint:
+        px, py = self._point_ptrs(p)
+        scratch = self.allocate(0x60)  # ecMul precompile input staging
+        out = self.allocate(0x40)
+        self.emit(("ecmul", out, px, py, self._expr(s), scratch))
+        return EcPoint(self, ("mem", out, out + 0x20))
+
+    def multi_scalar_multiplication(self, pairs, constant: Optional[tuple] = None) -> EcPoint:
+        acc = None
+        for s, p in pairs:
+            term = p if (s.value[0] == "const" and s.value[1] == 1) else self.ec_mul(p, s)
+            acc = term if acc is None else self.ec_add(acc, term)
+        assert acc is not None
+        self._point_ptrs(acc)
+        return acc
+
+    def pairing(self, lhs: EcPoint, g2: tuple, rhs: EcPoint, minus_s_g2: tuple):
+        """Emit the final ecPairing check: e(lhs, g2) e(rhs, -s_g2) == 1.
+
+        G2 coordinates are embedded as constants (decider.rs:126-143).
+        """
+        lx, ly = self._point_ptrs(lhs)
+        rx, ry = self._point_ptrs(rhs)
+        base = self.allocate(0x180)
+        self.emit(("mstore", base + 0x00, ("mload", lx)))
+        self.emit(("mstore", base + 0x20, ("mload", ly)))
+        # EVM expects Fq2 as (c1, c0)
+        for off, v in zip(
+            range(0x40, 0xC0, 0x20),
+            [g2[0][1], g2[0][0], g2[1][1], g2[1][0]],
+        ):
+            self.emit(("mstore", base + off, ("const", v)))
+        self.emit(("mstore", base + 0xC0, ("mload", rx)))
+        self.emit(("mstore", base + 0xE0, ("mload", ry)))
+        for off, v in zip(
+            range(0x100, 0x180, 0x20),
+            [minus_s_g2[0][1], minus_s_g2[0][0], minus_s_g2[1][1], minus_s_g2[1][0]],
+        ):
+            self.emit(("mstore", base + off, ("const", v)))
+        self.emit(("pairing", base))
+
+    # -- calldata / transcript support ---------------------------------------
+    def calldataload_scalar(self, offset: int) -> Scalar:
+        ptr = self.allocate(0x20)
+        self.emit(("cd_scalar", ptr, offset))  # validates < r
+        return Scalar(self, ("mem", ptr))
+
+    def calldataload_ec_point(self, offset: int) -> EcPoint:
+        ptr = self.allocate(0x40)
+        self.emit(("cd_point", ptr, offset))  # validates on-curve
+        return EcPoint(self, ("mem", ptr, ptr + 0x20))
+
+    def keccak256(self, ptr: int, length: int) -> int:
+        out = self.allocate(0x20)
+        self.emit(("keccak", out, ptr, length))
+        return out
+
+    def mstore8(self, ptr: int, byte: int):
+        self.emit(("mstore8", ptr, byte))
+
+    def scalar_from_mem(self, ptr: int) -> Scalar:
+        return Scalar(self, ("mem", ptr))
+
+    def dup_scalar(self, s: Scalar) -> Scalar:
+        ptr = self.allocate(0x20)
+        self.emit(("mstore", ptr, self._expr(s)))
+        return Scalar(self, ("mem", ptr))
+
+    def dup_ec_point(self, p: EcPoint) -> EcPoint:
+        px, py = self._point_ptrs(p)
+        ptr = self.allocate(0x40)
+        self.emit(("mstore", ptr, ("mload", px)))
+        self.emit(("mstore", ptr + 0x20, ("mload", py)))
+        return EcPoint(self, ("mem", ptr, ptr + 0x20))
+
+    # -- decider hook (pcs/kzg/decider.py dispatch) ---------------------------
+    def decide_pairing(self, accumulator, dk):
+        self.pairing(
+            accumulator.lhs, dk.g2, accumulator.rhs, bn254.g2_neg(dk.s_g2)
+        )
+        return True
+
+    # -- rendering ------------------------------------------------------------
+    def solidity_code(self) -> str:
+        from snark_verifier_tpu.loader.evm_render import render_contract
+
+        return render_contract(self)
