@@ -144,7 +144,35 @@ class JaxLoader(Loader):
         out = MSM.msm_batched(points, scalars)
         return EcPoint(self, JaxPoint(proj=out))
 
-    # -- decider hook (pcs/kzg/decider.py dispatch) ---------------------------
+    # -- decider hooks --------------------------------------------------------
+    def decide_ipa(self, accumulator, dk):
+        """IPA decide: U == MSM(g, h_coeffs(xi)) via the large-N Pippenger
+        kernel (pcs/ipa/decider.rs:47-55)."""
+        from snark_verifier_tpu.ops import msm as MSM
+
+        xi = [x.value for x in accumulator.xi]
+        batch = self.batch_shape
+        coeffs = F.ones(batch + (1,), FR)
+        for x in reversed(xi):
+            prod = F.mont_mul(coeffs, x[..., None, :], FR)
+            coeffs = jnp.concatenate([coeffs, prod], axis=-2)
+        scal = F.from_mont(coeffs, FR)  # (..., n, 16)
+        g = CRV.g1_from_affine_ints(dk.g)
+        if batch == ():
+            expect = MSM.msm_serial(g, scal)
+        else:
+            expect = jax.vmap(lambda s: MSM.msm_serial(g, s))(
+                scal.reshape((-1,) + scal.shape[-2:])
+            )
+            expect = CRV.G1(
+                expect.x.reshape(batch + (16,)),
+                expect.y.reshape(batch + (16,)),
+                expect.z.reshape(batch + (16,)),
+            )
+        ok = CRV.g1_eq(expect, accumulator.u.value.as_proj())
+        self.require(ok)
+        return ok
+
     def decide_pairing(self, accumulator, dk):
         from snark_verifier_tpu.ops import pairing as PAIR
 
