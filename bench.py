@@ -33,8 +33,10 @@ from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk  # noq
 from snark_verifier_tpu.system.halo2.srs import gen_srs  # noqa: E402
 
 K = int(os.environ.get("BENCH_K", "4"))
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+# default batch 1820: 1820 proofs x 18 MSM terms = 32760 lanes, filling the
+# Pallas kernels' fixed 32768-lane tier almost exactly
+BATCH = int(os.environ.get("BENCH_BATCH", "1820"))
+ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 N_UNIQUE = 4
 
 

@@ -111,9 +111,22 @@ def _mul_b3(t):
     return _add(t8, t)
 
 
-@jax.jit
 def g1_add(p: G1, q: G1) -> G1:
-    """Complete projective addition, RCB15 algorithm 7 (a=0, b3=9)."""
+    """Complete projective addition, RCB15 algorithm 7 (a=0, b3=9).
+
+    Routes to the fused Pallas kernel on TPU backends (config.use_pallas);
+    the XLA composition below is the bit-exact reference path."""
+    from snark_verifier_tpu.config import use_pallas
+
+    if use_pallas():
+        from snark_verifier_tpu.ops.curve_pallas import g1_add_pallas
+
+        return g1_add_pallas(p, q)
+    return _g1_add_xla(p, q)
+
+
+@jax.jit
+def _g1_add_xla(p: G1, q: G1) -> G1:
     x1, y1, z1 = p
     x2, y2, z2 = q
     t0 = _mul(x1, x2)
@@ -160,9 +173,19 @@ def g1_add_affine(p: G1, qx, qy, q_is_inf) -> G1:
     return g1_select(q_is_inf, p, out)
 
 
-@jax.jit
 def g1_double(p: G1) -> G1:
     """Complete projective doubling, RCB15 algorithm 9 (a=0, b3=9)."""
+    from snark_verifier_tpu.config import use_pallas
+
+    if use_pallas():
+        from snark_verifier_tpu.ops.curve_pallas import g1_double_pallas
+
+        return g1_double_pallas(p)
+    return _g1_double_xla(p)
+
+
+@jax.jit
+def _g1_double_xla(p: G1) -> G1:
     x, y, z = p
     t0 = _mul(y, y)
     z3 = _add(t0, t0)

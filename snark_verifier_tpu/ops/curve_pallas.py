@@ -1,0 +1,167 @@
+"""Fused Pallas kernels for batched G1 operations.
+
+One kernel per complete point operation: the 12+ Montgomery multiplies of an
+RCB add (and their ~100-step carry chains) execute register/VMEM-resident in
+a single Pallas program instead of ~500 dispatched XLA ops.  Layout inside
+kernels is (limb, batch): limbs on sublanes, batch on lanes; wrappers
+transpose at the boundary.
+
+Enabled in ops/curve.py via `snark_verifier_tpu.config.use_pallas()` —
+default on TPU backends, off on CPU (mosaic interpret mode is too slow for
+tests; the XLA path is the bit-exact reference there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from snark_verifier_tpu.ops import field_pallas as FP
+from snark_verifier_tpu.ops.field_pallas import TConsts, tadd, tconsts, tmul, tsub
+from snark_verifier_tpu.ops.limbs import NLIMB
+
+LANES = FP.LANES
+
+
+def _mul_b3(t, mod128):
+    t2 = tadd(t, t, mod128)
+    t4 = tadd(t2, t2, mod128)
+    t8 = tadd(t4, t4, mod128)
+    return tadd(t8, t, mod128)
+
+
+def _add_core(x1, y1, z1, x2, y2, z2, mod, npr):
+    """RCB15 algorithm 7 on transposed limbs (mirrors curve.g1_add)."""
+
+    def mul(a, b):
+        return tmul(a, b, mod, npr)
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = mul(tadd(x1, y1, mod), tadd(x2, y2, mod))
+    t3 = tsub(t3, tadd(t0, t1, mod), mod)
+    t4 = mul(tadd(y1, z1, mod), tadd(y2, z2, mod))
+    t4 = tsub(t4, tadd(t1, t2, mod), mod)
+    x3 = mul(tadd(x1, z1, mod), tadd(x2, z2, mod))
+    y3 = tsub(x3, tadd(t0, t2, mod), mod)
+    x3 = tadd(t0, t0, mod)
+    t0 = tadd(x3, t0, mod)
+    t2 = _mul_b3(t2, mod)
+    z3 = tadd(t1, t2, mod)
+    t1 = tsub(t1, t2, mod)
+    y3 = _mul_b3(y3, mod)
+    x3 = tsub(mul(t3, t1), mul(t4, y3), mod)
+    y3 = tadd(mul(t1, z3), mul(y3, t0), mod)
+    z3 = tadd(mul(z3, t4), mul(t0, t3), mod)
+    return x3, y3, z3
+
+
+def _dbl_core(x, y, z, mod, npr):
+    """RCB15 algorithm 9 on transposed limbs (mirrors curve.g1_double)."""
+
+    def mul(a, b):
+        return tmul(a, b, mod, npr)
+
+    t0 = mul(y, y)
+    z3 = tadd(t0, t0, mod)
+    z3 = tadd(z3, z3, mod)
+    z3 = tadd(z3, z3, mod)
+    t1 = mul(y, z)
+    t2 = _mul_b3(mul(z, z), mod)
+    x3 = mul(t2, z3)
+    y3 = tadd(t0, t2, mod)
+    z3 = mul(t1, z3)
+    t1 = tadd(t2, t2, mod)
+    t2 = tadd(t1, t2, mod)
+    t0 = tsub(t0, t2, mod)
+    y3 = tadd(mul(t0, y3), x3, mod)
+    t1 = mul(x, y)
+    x3 = mul(t0, t1)
+    x3 = tadd(x3, x3, mod)
+    return x3, y3, z3
+
+
+def _add_kernel(x1, y1, z1, x2, y2, z2, mod, npr, ox, oy, oz):
+    rx, ry, rz = _add_core(
+        x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], mod[:], npr[:]
+    )
+    ox[:] = rx
+    oy[:] = ry
+    oz[:] = rz
+
+
+def _dbl_kernel(x, y, z, mod, npr, ox, oy, oz):
+    rx, ry, rz = _dbl_core(x[:], y[:], z[:], mod[:], npr[:])
+    ox[:] = rx
+    oy[:] = ry
+    oz[:] = rz
+
+
+def _point_blockspec():
+    return pl.BlockSpec((NLIMB, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _flatten_t(arr, n, pad):
+    out = arr.reshape(n, NLIMB).T
+    if pad:
+        out = jnp.pad(out, ((0, 0), (0, pad)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=())
+def g1_add_pallas(p, q):
+    """Fused complete add on G1 batches ((..., 16) coordinate layout)."""
+    from snark_verifier_tpu.ops.curve import G1
+    from snark_verifier_tpu.ops import field as F
+
+    spec = F.FQ
+    batch_shape = jnp.broadcast_shapes(p.x.shape[:-1], q.x.shape[:-1])
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    total = FP._padded_total(n)
+    pad = total - n
+    tc = tconsts(spec)
+
+    ins = []
+    for g in (p, q):
+        for coord in (g.x, g.y, g.z):
+            c = jnp.broadcast_to(coord, batch_shape + (NLIMB,))
+            ins.append(_flatten_t(c, n, pad))
+
+    outs = pl.pallas_call(
+        _add_kernel,
+        out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
+        grid=(total // LANES,),
+        in_specs=[_point_blockspec()] * 6 + TConsts.in_specs(),
+        out_specs=[_point_blockspec()] * 3,
+    )(*ins, *tc.as_inputs())
+    x, y, z = (o[:, :n].T.reshape(batch_shape + (NLIMB,)) for o in outs)
+    return G1(x, y, z)
+
+
+@jax.jit
+def g1_double_pallas(p):
+    from snark_verifier_tpu.ops.curve import G1
+    from snark_verifier_tpu.ops import field as F
+
+    spec = F.FQ
+    batch_shape = p.x.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    total = FP._padded_total(n)
+    pad = total - n
+    tc = tconsts(spec)
+    ins = [_flatten_t(c, n, pad) for c in (p.x, p.y, p.z)]
+    outs = pl.pallas_call(
+        _dbl_kernel,
+        out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
+        grid=(total // LANES,),
+        in_specs=[_point_blockspec()] * 3 + TConsts.in_specs(),
+        out_specs=[_point_blockspec()] * 3,
+    )(*ins, *tc.as_inputs())
+    x, y, z = (o[:, :n].T.reshape(batch_shape + (NLIMB,)) for o in outs)
+    return G1(x, y, z)

@@ -1,0 +1,241 @@
+"""Pallas TPU kernels for BN254 limb arithmetic.
+
+The XLA path in ops/field.py issues each Montgomery multiply as dozens of
+small ops whose sequential carry chains are dispatch-latency bound.  These
+kernels fuse entire field/curve operations into single Pallas programs in a
+*transposed* (limb, batch) layout: limbs live on the 8-sublane axis, the
+batch rides the 128-lane axis, the limb-product column reduction is one MXU
+matmul per multiply, and carry chains become in-register loop iterations.
+
+The `_t*` helpers are pure functions over (16, B) uint32 arrays designed to
+be called *inside* kernels (e.g. the fused G1 ops in curve_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from snark_verifier_tpu.ops.limbs import LIMB_BITS, LIMB_MASK, NLIMB, int_to_limbs
+
+LANES = 512  # lane-block size (multiple of 128)
+FIXED_TOTAL = 32768  # canonical padded lane count: mosaic recompiles per
+                     # grid, so every call pads to a fixed tier (one compile
+                     # per kernel; larger batches jump to the next power of 2)
+
+
+def _padded_total(n: int) -> int:
+    total = FIXED_TOTAL
+    while total < n:
+        total *= 2
+    return total
+
+
+@functools.lru_cache(maxsize=None)
+def _tcol_matrix():
+    """(32, 512) f32: maps [lo(256) | hi(256)] products to 32 columns."""
+    n = NLIMB
+    m = np.zeros((2 * n, 2 * n * n), dtype=np.float32)
+    for i in range(n):
+        for j in range(n):
+            m[i + j, i * n + j] = 1.0
+            m[i + j + 1, n * n + i * n + j] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _tcol_matrix_low():
+    n = NLIMB
+    m = np.zeros((n, 2 * n * n), dtype=np.float32)
+    for i in range(n):
+        for j in range(n):
+            if i + j < n:
+                m[i + j, i * n + j] = 1.0
+            if i + j + 1 < n:
+                m[i + j + 1, n * n + i * n + j] = 1.0
+    return m
+
+
+def _tcolumns(a, b, nout):
+    """a, b (16, B) -> (nout, B) column sums of the schoolbook product.
+
+    Pure-integer shifted-slab accumulation: row-group i of the (16,16,B)
+    product contributes its 16 columns at offset i (lo) / i+1 (hi).  All
+    u32, no dtype conversions, no MXU — the sparse-matmul alternative wastes
+    ~16x MXU work and pays f32 conversion passes."""
+    prod = a[:, None, :] * b[None, :, :]  # (16, 16, B) exact u32
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    b_shape = prod.shape[2:]
+    rows = nout + NLIMB + 1
+
+    def _cat(parts):
+        parts = [p for p in parts if p.shape[0] > 0]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    def _z(k):
+        return jnp.zeros((k,) + b_shape, jnp.uint32)
+
+    acc = jnp.zeros((rows,) + b_shape, jnp.uint32)
+    for i in range(NLIMB):
+        slab = _cat([_z(i), lo[i], _z(1)]) + _cat([_z(i + 1), hi[i]])
+        acc = acc + _cat([slab, _z(rows - (i + NLIMB + 1))])
+    return acc[:nout]
+
+
+def _shift1(x, d=1):
+    """Move row i to row i+d (zeros shifted in at the bottom)."""
+    return jnp.concatenate([jnp.zeros((d,) + x.shape[1:], x.dtype), x[:-d]], axis=0)
+
+
+def _tcarry(cols):
+    """Resolve column sums (< 2^22) into exact limbs via Kogge-Stone
+    carry-lookahead: log2(rows) rounds of whole-array ops instead of a
+    sequential ripple — ~4x fewer kernel ops, same result.
+
+    Returns (limbs, carry_out)."""
+    n = cols.shape[0]
+    s = cols & LIMB_MASK
+    c = cols >> LIMB_BITS  # carry INTO row i+1, < 2^6
+    t = s + _shift1(c)  # < 2^16 + 2^6
+    g = t >> LIMB_BITS  # generate (0/1)
+    p = ((t & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)  # propagate
+    G, P = g, p
+    d = 1
+    while d < n:
+        G = G | (P & _shift1(G, d))
+        P = P & _shift1(P, d)
+        d <<= 1
+    carry_in = _shift1(G)
+    out = (t + carry_in) & LIMB_MASK
+    carry_out = c[n - 1] + G[n - 1]
+    return out, carry_out
+
+
+def _tadd_raw(a, b):
+    return _tcarry(a + b)  # limb sums < 2^17 < 2^22
+
+
+def _tsub_raw(a, b):
+    """a - b with borrow: a + (complement of b) + 1, borrow = !carry_out."""
+    comp = LIMB_MASK - b
+    bump = jnp.concatenate(
+        [jnp.ones((1,) + a.shape[1:], jnp.uint32), jnp.zeros((a.shape[0] - 1,) + a.shape[1:], jnp.uint32)],
+        axis=0,
+    )
+    out, carry = _tcarry(a + comp + bump)
+    borrow = (carry == 0).astype(jnp.uint32)
+    return out, borrow
+
+
+class TConsts:
+    """Transposed per-field constant tensors, passed as kernel inputs
+    (pallas kernels cannot capture array constants)."""
+
+    def __init__(self, spec):
+        self.mod = np.broadcast_to(
+            np.asarray(spec.mod_limbs, np.uint32)[:, None], (NLIMB, 128)
+        ).copy()
+        self.nprime = np.broadcast_to(
+            np.asarray(spec.nprime_limbs, np.uint32)[:, None], (NLIMB, 128)
+        ).copy()
+
+    def as_inputs(self):
+        return (jnp.asarray(self.mod), jnp.asarray(self.nprime))
+
+    @staticmethod
+    def in_specs():
+        return [
+            pl.BlockSpec((NLIMB, 128), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NLIMB, 128), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+
+@functools.lru_cache(maxsize=None)
+def tconsts(spec):
+    return TConsts(spec)
+
+
+def _tcond_sub_mod(x, mod128, extra=None):
+    mod = jnp.broadcast_to(mod128[:, :1], x.shape)
+    diff, borrow = _tsub_raw(x, mod)
+    take = borrow == 0
+    if extra is not None:
+        take = jnp.logical_or(take, extra > 0)
+    return jnp.where(take[None, :], diff, x)
+
+
+def tmul(a, b, mod128, npr128):
+    """Montgomery product on (16, B) transposed limbs."""
+    t_cols = _tcolumns(a, b, 2 * NLIMB)  # (32, B)
+    t_limbs, _ = _tcarry(t_cols)
+    t_lo, t_hi = t_limbs[:NLIMB], t_limbs[NLIMB:]
+    npr = jnp.broadcast_to(npr128[:, :1], t_lo.shape)
+    m_cols = _tcolumns(t_lo, npr, NLIMB)
+    m, _ = _tcarry(m_cols)
+    mod = jnp.broadcast_to(mod128[:, :1], m.shape)
+    u_cols = _tcolumns(m, mod, 2 * NLIMB)
+    u_limbs, _ = _tcarry(u_cols)
+    u_lo, u_hi = u_limbs[:NLIMB], u_limbs[NLIMB:]
+    low_nonzero = jnp.logical_or(jnp.any(t_lo != 0, axis=0), jnp.any(u_lo != 0, axis=0))
+    res, c1 = _tadd_raw(t_hi, u_hi)
+    bump = jnp.concatenate(
+        [low_nonzero.astype(jnp.uint32)[None], jnp.zeros((NLIMB - 1,) + res.shape[1:], jnp.uint32)],
+        axis=0,
+    )
+    res, c2 = _tadd_raw(res, bump)
+    return _tcond_sub_mod(res, mod128, extra=c1 + c2)
+
+
+def tadd(a, b, mod128):
+    s, carry = _tadd_raw(a, b)
+    return _tcond_sub_mod(s, mod128, extra=carry)
+
+
+def tsub(a, b, mod128):
+    d, borrow = _tsub_raw(a, b)
+    mod = jnp.broadcast_to(mod128[:, :1], d.shape)
+    corrected, _ = _tadd_raw(d, mod)
+    return jnp.where((borrow > 0)[None, :], corrected, d)
+
+
+# ---------------------------------------------------------------------------
+# Standalone fused mont_mul kernel (unit-tested building block)
+# ---------------------------------------------------------------------------
+
+
+def _mont_mul_kernel(a_ref, b_ref, mod_ref, npr_ref, out_ref):
+    out_ref[:] = tmul(a_ref[:], b_ref[:], mod_ref[:], npr_ref[:])
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def mont_mul_pallas(a, b, spec):
+    """Drop-in Montgomery multiply: (..., 16) uint32 -> (..., 16)."""
+    batch_shape = a.shape[:-1]
+    a2, b2 = jnp.broadcast_arrays(a, b)
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    total = _padded_total(n)
+    pad = total - n
+    at = a2.reshape(n, NLIMB).T
+    bt = b2.reshape(n, NLIMB).T
+    if pad:
+        at = jnp.pad(at, ((0, 0), (0, pad)))
+        bt = jnp.pad(bt, ((0, 0), (0, pad)))
+    tc = tconsts(spec)
+    out = pl.pallas_call(
+        _mont_mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32),
+        grid=(total // LANES,),
+        in_specs=[
+            pl.BlockSpec((NLIMB, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NLIMB, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        + TConsts.in_specs(),
+        out_specs=pl.BlockSpec((NLIMB, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )(at, bt, *tc.as_inputs())
+    return out[:, :n].T.reshape(batch_shape + (NLIMB,))

@@ -46,7 +46,7 @@ class IpaProvingKey:
         return IpaDecidingKey(self.svk(), list(self.g))
 
     def commit(self, coeffs, omega: Optional[int] = None):
-        c = bn254.g1_msm(coeffs, self.g[: len(coeffs)])
+        c = bn254.fast_msm(coeffs, self.g[: len(coeffs)])
         if self.s is not None:
             assert omega is not None
             c = bn254.g1_add(c, bn254.g1_mul(self.s, omega))
@@ -193,11 +193,11 @@ class Ipa:
         for i in range(k):
             half = 1 << (k - i - 1)
             l_i = bn254.g1_add(
-                bn254.g1_msm(coeffs[half:], bases[:half]),
+                bn254.fast_msm(coeffs[half:], bases[:half]),
                 bn254.g1_mul(h_prime, _inner(coeffs[half:], zs[:half])),
             )
             r_i = bn254.g1_add(
-                bn254.g1_msm(coeffs[:half], bases[half:]),
+                bn254.fast_msm(coeffs[:half], bases[half:]),
                 bn254.g1_mul(h_prime, _inner(coeffs[:half], zs[half:])),
             )
             transcript.write_ec_point(EcPoint(loader, l_i))
@@ -360,7 +360,7 @@ class IpaAs:
         if hasattr(loader, "decide_ipa"):
             return loader.decide_ipa(accumulator, dk)
         h = h_coeffs([x.value for x in accumulator.xi], 1)
-        expect = bn254.g1_msm(h, dk.g)
+        expect = bn254.fast_msm(h, dk.g)
         if accumulator.u.value != expect:
             raise AssertionFailure("U == commit(G, h)")
         return True

@@ -30,7 +30,7 @@ class Srs:
     def commit(self, coeffs) -> tuple:
         """Commit a coefficient-form polynomial (affine int pair)."""
         assert len(coeffs) <= len(self.g)
-        return bn254.g1_msm(coeffs, self.g[: len(coeffs)])
+        return bn254.fast_msm(coeffs, self.g[: len(coeffs)])
 
     def decider_key(self):
         from snark_verifier_tpu.pcs.kzg.decider import KzgDecidingKey
