@@ -21,7 +21,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from snark_verifier_tpu.ops.limbs import LIMB_BITS, LIMB_MASK, NLIMB, int_to_limbs
+from snark_verifier_tpu.ops.limbs import LIMB_BITS, LIMB_MASK, NLIMB
 
 LANES = 512  # lane-block size (multiple of 128)
 FIXED_TOTAL = 32768  # canonical padded lane count: mosaic recompiles per
@@ -34,31 +34,6 @@ def _padded_total(n: int) -> int:
     while total < n:
         total *= 2
     return total
-
-
-@functools.lru_cache(maxsize=None)
-def _tcol_matrix():
-    """(32, 512) f32: maps [lo(256) | hi(256)] products to 32 columns."""
-    n = NLIMB
-    m = np.zeros((2 * n, 2 * n * n), dtype=np.float32)
-    for i in range(n):
-        for j in range(n):
-            m[i + j, i * n + j] = 1.0
-            m[i + j + 1, n * n + i * n + j] = 1.0
-    return m
-
-
-@functools.lru_cache(maxsize=None)
-def _tcol_matrix_low():
-    n = NLIMB
-    m = np.zeros((n, 2 * n * n), dtype=np.float32)
-    for i in range(n):
-        for j in range(n):
-            if i + j < n:
-                m[i + j, i * n + j] = 1.0
-            if i + j + 1 < n:
-                m[i + j + 1, n * n + i * n + j] = 1.0
-    return m
 
 
 def _tcolumns(a, b, nout):

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from snark_verifier_tpu.ops import curve as C
-from snark_verifier_tpu.ops import field as F
 from snark_verifier_tpu.ops.curve import G1
 from snark_verifier_tpu.ops.limbs import LIMB_BITS, NLIMB
 

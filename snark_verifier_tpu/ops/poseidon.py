@@ -9,8 +9,6 @@ constant-coefficient linear combination (t^2 mont_muls, batched).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,8 +9,6 @@ computation over (B, ...) arrays — one trace, B proofs — and
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,7 +109,6 @@ def build_batch_decider(dk):
     from snark_verifier_tpu.ops import msm as MSM
     from snark_verifier_tpu.ops import pairing as PAIR
     from snark_verifier_tpu.ops.curve import G1
-    from snark_verifier_tpu.util import bn254
 
     def decide_fn(lhs_x, lhs_y, rhs_x, rhs_y, fold_scalars):
         def to_g1(cx, cy):

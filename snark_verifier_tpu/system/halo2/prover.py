@@ -11,7 +11,7 @@ protocol's Expression AST over a coset evaluation domain.
 
 from __future__ import annotations
 
-from snark_verifier_tpu.loader import EcPoint, Scalar
+from snark_verifier_tpu.loader import EcPoint
 from snark_verifier_tpu.system.halo2.transcript import (
     NativeEvmTranscript,
     NativePoseidonTranscript,
@@ -163,7 +163,6 @@ def _quotient_chunks(pk, values, challenges):
     # coset evaluations of every referenced poly
     used = protocol.quotient.numerator.used_query()
     poly_coset = {}
-    rot_cache = {}
     for q in used:
         if q.poly not in poly_coset:
             coeffs = up.lagrange_to_coeffs(values[q.poly], domain)

@@ -12,7 +12,7 @@ into straight-line Yul.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Optional
 
 from snark_verifier_tpu.util import bn254
 

@@ -102,7 +102,18 @@ def test_poseidon_proof_native_verify(scheme):
     assert verifier.verify(dk, loaded, ins, p) is True
 
 
-def test_poseidon_jax_matches_native():
+@pytest.fixture
+def no_cache_writes():
+    """Suppress persistent-cache writes: serializing this test's very large
+    CPU executable segfaults inside jax's cache writer (zstandard) when run
+    as part of the full suite."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
+def test_poseidon_jax_matches_native(no_cache_writes):
     from snark_verifier_tpu.parallel.batch import (
         build_verifier,
         decode_accumulator,
