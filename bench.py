@@ -33,9 +33,9 @@ from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk  # noq
 from snark_verifier_tpu.system.halo2.srs import gen_srs  # noqa: E402
 
 K = int(os.environ.get("BENCH_K", "4"))
-# default batch 1820: 1820 proofs x 18 MSM terms = 32760 lanes, filling the
-# Pallas kernels' fixed 32768-lane tier almost exactly
-BATCH = int(os.environ.get("BENCH_BATCH", "1820"))
+# default batch 3640: 3640 proofs x 18 MSM terms = 65520 lanes, filling the
+# Pallas kernels' 65536-lane tier almost exactly (1820 fills the 32768 tier)
+BATCH = int(os.environ.get("BENCH_BATCH", "3640"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 N_UNIQUE = 4
 
@@ -78,6 +78,9 @@ def main():
         "vs_baseline": round(throughput / per_chip_target, 4),
     }
     print(json.dumps(result))
+
+    if os.environ.get("BENCH_MSM") == "1":
+        _msm_bench()
     print(
         json.dumps(
             {
@@ -90,6 +93,36 @@ def main():
                     "device": str(jax.devices()[0]),
                 }
             }
+        ),
+        file=sys.stderr,
+    )
+
+
+def _msm_bench():
+    """Optional large-MSM throughput (BASELINE config 3 scale), to stderr."""
+    import random
+
+    from snark_verifier_tpu.ops import curve as C
+    from snark_verifier_tpu.ops import msm as M
+    from snark_verifier_tpu.ops.limbs import ints_to_limbs
+    from snark_verifier_tpu.util import bn254 as bn
+
+    n = 1 << int(os.environ.get("BENCH_MSM_LOGN", "14"))
+    rng = random.Random(0)
+    base = [bn.g1_mul(bn.G1_GEN, i + 1) for i in range(64)]
+    pts = C.g1_from_affine_ints(base * (n // 64))
+    scal = jnp.asarray(
+        np.tile(ints_to_limbs([rng.randrange(bn.R) for _ in range(64)]), (n // 64, 1))
+    )
+    out = M.msm_serial(pts, scal, 8)
+    np.asarray(out.x)
+    t0 = time.time()
+    out = M.msm_serial(pts, scal, 8)
+    np.asarray(out.x)
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {"detail": {"msm_points": n, "msm_s": round(dt, 3), "points_per_s": round(n / dt)}}
         ),
         file=sys.stderr,
     )
