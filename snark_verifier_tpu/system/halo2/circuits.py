@@ -193,6 +193,69 @@ def build_standard_plonk(k: int, srs: Srs):
     return protocol, pk
 
 
+def build_fibonacci(k: int, srs: Srs):
+    """A rotation-heavy test circuit: one advice column `a` under the gate
+      q(X) * (a(wX) - a(X) - a(X/w)) = 0
+    (Fibonacci recurrence via next/prev rotations).  No permutation argument,
+    no instances — exercises negative rotations through the whole pipeline
+    (domain.rotate_scalar, multiopen shift sets, transcript orders).
+    """
+    domain = Domain.new(k)
+    n = domain.n
+
+    # poly layout: 0 q (fixed); 1 a (advice); quotient 2
+    Q, A = 0, 1
+    P = lambda idx, rot=0: Polynomial(Query.new(idx, rot))
+    gate = P(Q) * (P(A, 1) - P(A) - P(A, -1))
+    numerator = DistributePowers((gate,), Challenge(3))
+    num_chunk = max(1, gate.degree() - 1)
+
+    evaluations = [Query.new(A), Query.new(A, 1), Query.new(A, -1), Query.new(Q)]
+    queries = [
+        Query.new(A),
+        Query.new(A, 1),
+        Query.new(A, -1),
+        Query.new(Q),
+        Query.new(2),
+    ]
+
+    fib = [1, 1]
+    for _ in range(n - 2):
+        fib.append((fib[-1] + fib[-2]) % bn254.R)
+    q_vals = [0] + [1] * (n - 3) + [0, 0]  # recurrence holds on rows 1..n-3
+
+    fixed = {Q: q_vals}
+    preprocessed = [srs.commit(lagrange_to_coeffs(q_vals, domain))]
+
+    protocol = PlonkProtocol(
+        domain=domain,
+        preprocessed=preprocessed,
+        num_instance=[],
+        num_witness=[1, 0, 0],
+        num_challenge=[1, 2, 1],
+        evaluations=evaluations,
+        queries=queries,
+        quotient=QuotientPolynomial(1, num_chunk, numerator),
+        transcript_initial_state=(
+            int.from_bytes(keccak256(f"svtpu-fibonacci-k{k}".encode()), "big")
+            % bn254.R
+        ),
+    )
+
+    pk = ProvingKey(
+        protocol=protocol,
+        srs=srs,
+        fixed_values=fixed,
+        permutation=None,
+        advice_phases=[[A], [], []],
+        z_polys=[],
+        instance_polys=[],
+        synthesize=lambda instances: {A: list(fib)},
+        extended_k=k + 2,
+    )
+    return protocol, pk
+
+
 def _sigmas(domain, num_cols, cycles):
     """sigma column values: identity mapping with cycle rotations applied."""
     n = domain.n
