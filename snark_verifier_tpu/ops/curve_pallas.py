@@ -165,3 +165,34 @@ def g1_double_pallas(p):
     )(*ins, *tc.as_inputs())
     x, y, z = (o[:, :n].T.reshape(batch_shape + (NLIMB,)) for o in outs)
     return G1(x, y, z)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout wrappers: operate directly on (16, L) arrays with L a
+# fixed padding tier — no per-op transposes.  Used by msm.msm_batched when
+# Pallas is enabled (the transpose in/out happens once per MSM).
+# ---------------------------------------------------------------------------
+
+
+def _pallas_t_call(kernel, n_in, n_out, args):
+    L = args[0].shape[1]
+    assert L % LANES == 0
+    from snark_verifier_tpu.ops import field as F
+
+    tc = tconsts(F.FQ)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)] * n_out,
+        grid=(L // LANES,),
+        in_specs=[_point_blockspec()] * n_in + TConsts.in_specs(),
+        out_specs=[_point_blockspec()] * n_out,
+    )(*args, *tc.as_inputs())
+
+
+def g1_add_t(p, q):
+    """p, q: (x, y, z) tuples of (16, L) arrays -> same."""
+    return tuple(_pallas_t_call(_add_kernel, 6, 3, [*p, *q]))
+
+
+def g1_double_t(p):
+    return tuple(_pallas_t_call(_dbl_kernel, 3, 3, list(p)))
