@@ -94,6 +94,79 @@ class NativeEvmTranscript(TranscriptRead, TranscriptWrite):
 
 
 # ---------------------------------------------------------------------------
+# Blake2b transcript (native) — parity with halo2's Blake2bRead/Blake2bWrite
+# as re-exported by the reference (system/halo2/transcript.rs:20-97):
+# 64-byte blake2b keyed with personalization "Halo2-Transcript"; domain
+# prefixes 0/1/2 for challenge/point/scalar; challenges = 64 LE bytes mod r;
+# wire format: scalars 32B LE, points 32B compressed.  Used by the IPA test
+# flow (the reference's pcs/ipa.rs tests use Blake2b transcripts).
+# ---------------------------------------------------------------------------
+
+
+class NativeBlake2bTranscript(TranscriptRead, TranscriptWrite):
+    _PREFIX_CHALLENGE = b"\x00"
+    _PREFIX_POINT = b"\x01"
+    _PREFIX_SCALAR = b"\x02"
+
+    def __init__(self, stream: bytes | None = None, loader: NativeLoader | None = None):
+        import hashlib
+
+        self._loader = loader or NativeLoader()
+        self.stream = io.BytesIO(stream if stream is not None else b"")
+        self.state = hashlib.blake2b(digest_size=64, person=b"Halo2-Transcript")
+
+    def loader(self):
+        return self._loader
+
+    def squeeze_challenge(self) -> Scalar:
+        self.state.update(self._PREFIX_CHALLENGE)
+        digest = self.state.copy().digest()
+        return self._loader.load_const(int.from_bytes(digest, "little") % bn254.R)
+
+    def common_scalar(self, scalar: Scalar):
+        self.state.update(self._PREFIX_SCALAR)
+        self.state.update(scalar.value.to_bytes(32, "little"))
+
+    def common_ec_point(self, ec_point: EcPoint):
+        if ec_point.value is None:
+            raise TranscriptError("cannot absorb the identity point")
+        x, y = ec_point.value
+        self.state.update(self._PREFIX_POINT)
+        self.state.update(x.to_bytes(32, "little"))
+        self.state.update(y.to_bytes(32, "little"))
+
+    def read_scalar(self) -> Scalar:
+        data = self.stream.read(32)
+        if len(data) != 32:
+            raise TranscriptError("unexpected end of proof stream")
+        value = int.from_bytes(data, "little")
+        if value >= bn254.R:
+            raise TranscriptError("invalid scalar encoding in proof")
+        scalar = self._loader.load_const(value)
+        self.common_scalar(scalar)
+        return scalar
+
+    def read_ec_point(self) -> EcPoint:
+        data = self.stream.read(32)
+        if len(data) != 32:
+            raise TranscriptError("unexpected end of proof stream")
+        pt = EcPoint(self._loader, decompress_g1(data))
+        self.common_ec_point(pt)
+        return pt
+
+    def write_scalar(self, scalar: Scalar):
+        self.common_scalar(scalar)
+        self.stream.write(scalar.value.to_bytes(32, "little"))
+
+    def write_ec_point(self, ec_point: EcPoint):
+        self.common_ec_point(ec_point)
+        self.stream.write(compress_g1(ec_point.value))
+
+    def finalize(self) -> bytes:
+        return self.stream.getvalue()
+
+
+# ---------------------------------------------------------------------------
 # Poseidon transcript (native) — parity: system/halo2/transcript/halo2.rs
 # (NativeLoader impls, :175-268 read side, write side below :280).
 # Wire format: scalars 32-byte LE; points 32-byte compressed (x LE, y-parity
