@@ -25,8 +25,6 @@ from snark_verifier_tpu.ops import field_pallas as FP
 from snark_verifier_tpu.ops.field_pallas import TConsts, tadd, tconsts, tmul, tsub
 from snark_verifier_tpu.ops.limbs import NLIMB
 
-LANES = FP.LANES
-
 
 def _mul_b3(t, mod128):
     t2 = tadd(t, t, mod128)
@@ -104,7 +102,7 @@ def _dbl_kernel(x, y, z, mod, npr, ox, oy, oz):
 
 
 def _point_blockspec():
-    return pl.BlockSpec((NLIMB, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((NLIMB, FP.LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
 def _flatten_t(arr, n, pad):
@@ -133,13 +131,17 @@ def g1_add_pallas(p, q):
             c = jnp.broadcast_to(coord, batch_shape + (NLIMB,))
             ins.append(_flatten_t(c, n, pad))
 
-    outs = pl.pallas_call(
-        _add_kernel,
-        out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
-        grid=(total // LANES,),
-        in_specs=[_point_blockspec()] * 6 + TConsts.in_specs(),
-        out_specs=[_point_blockspec()] * 3,
-    )(*ins, *tc.as_inputs())
+    if FP.interpret():
+        mod, npr = tc.as_inputs()
+        outs = _add_core(*ins, mod, npr)
+    else:
+        outs = pl.pallas_call(
+            _add_kernel,
+            out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
+            grid=(total // FP.LANES,),
+            in_specs=[_point_blockspec()] * 6 + TConsts.in_specs(),
+            out_specs=[_point_blockspec()] * 3,
+        )(*ins, *tc.as_inputs())
     x, y, z = (o[:, :n].T.reshape(batch_shape + (NLIMB,)) for o in outs)
     return G1(x, y, z)
 
@@ -156,13 +158,17 @@ def g1_double_pallas(p):
     pad = total - n
     tc = tconsts(spec)
     ins = [_flatten_t(c, n, pad) for c in (p.x, p.y, p.z)]
-    outs = pl.pallas_call(
-        _dbl_kernel,
-        out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
-        grid=(total // LANES,),
-        in_specs=[_point_blockspec()] * 3 + TConsts.in_specs(),
-        out_specs=[_point_blockspec()] * 3,
-    )(*ins, *tc.as_inputs())
+    if FP.interpret():
+        mod, npr = tc.as_inputs()
+        outs = _dbl_core(*ins, mod, npr)
+    else:
+        outs = pl.pallas_call(
+            _dbl_kernel,
+            out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
+            grid=(total // FP.LANES,),
+            in_specs=[_point_blockspec()] * 3 + TConsts.in_specs(),
+            out_specs=[_point_blockspec()] * 3,
+        )(*ins, *tc.as_inputs())
     x, y, z = (o[:, :n].T.reshape(batch_shape + (NLIMB,)) for o in outs)
     return G1(x, y, z)
 
@@ -176,23 +182,40 @@ def g1_double_pallas(p):
 
 def _pallas_t_call(kernel, n_in, n_out, args):
     L = args[0].shape[1]
-    assert L % LANES == 0
+    assert L % FP.LANES == 0
     from snark_verifier_tpu.ops import field as F
 
     tc = tconsts(F.FQ)
     return pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)] * n_out,
-        grid=(L // LANES,),
+        grid=(L // FP.LANES,),
         in_specs=[_point_blockspec()] * n_in + TConsts.in_specs(),
         out_specs=[_point_blockspec()] * n_out,
     )(*args, *tc.as_inputs())
 
 
+def _core_consts():
+    from snark_verifier_tpu.ops import field as F
+
+    return tconsts(F.FQ).as_inputs()
+
+
 def g1_add_t(p, q):
-    """p, q: (x, y, z) tuples of (16, L) arrays -> same."""
+    """p, q: (x, y, z) tuples of (16, L) arrays -> same.
+
+    On CPU (FP.interpret()) the kernel BODY runs directly as traced jnp —
+    bit-identical math, since the grid only splits the lane axis of
+    lane-wise ops — because interpret-mode pallas_call is pathologically
+    slow in this environment (~16 s per call; see CLAUDE.md)."""
+    if FP.interpret():
+        mod, npr = _core_consts()
+        return _add_core(*p, *q, mod, npr)
     return tuple(_pallas_t_call(_add_kernel, 6, 3, [*p, *q]))
 
 
 def g1_double_t(p):
+    if FP.interpret():
+        mod, npr = _core_consts()
+        return _dbl_core(*p, mod, npr)
     return tuple(_pallas_t_call(_dbl_kernel, 3, 3, list(p)))

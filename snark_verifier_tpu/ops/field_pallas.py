@@ -29,6 +29,20 @@ FIXED_TOTAL = 32768  # canonical padded lane count: mosaic recompiles per
                      # per kernel; larger batches jump to the next power of 2)
 
 
+def interpret() -> bool:
+    """Run pallas_call in interpreter mode?  Default: yes on CPU (so the
+    kernels are unit-testable without Mosaic), no on TPU.  Override with
+    SVTPU_PALLAS_INTERPRET=0/1."""
+    import os
+
+    forced = os.environ.get("SVTPU_PALLAS_INTERPRET")
+    if forced is not None:
+        return forced == "1"
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 def _padded_total(n: int) -> int:
     total = FIXED_TOTAL
     while total < n:
@@ -212,5 +226,6 @@ def mont_mul_pallas(a, b, spec):
         ]
         + TConsts.in_specs(),
         out_specs=pl.BlockSpec((NLIMB, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret(),
     )(at, bt, *tc.as_inputs())
     return out[:, :n].T.reshape(batch_shape + (NLIMB,))
