@@ -76,19 +76,25 @@ def msm_batched(points: G1, scalars_canon) -> G1:
     points: G1 with batch shape (..., n); scalars_canon: (..., n, NLIMB)
     canonical limbs.  Returns G1 with batch shape (...,).
 
-    SVTPU_MSM_TLAYOUT=1 routes 2-D (B, n) batches to the experimental
-    transposed-layout implementation (_msm_batched_tlayout).  Measured on
-    v5e it is ~2x SLOWER than the default path — the per-window
-    take_along_axis over the (16, 16, L) table and the lane-gather tree
-    merges cost more than the per-op transposes they remove — so it stays
-    off; kept as the starting point for an in-kernel-gather design."""
+    On TPU (config.use_pallas()) this routes to the point-scan Pallas
+    implementation (ops/msm_pallas.py: lane = proof, sequential grid over
+    the n points with in-kernel table select + VMEM-resident accumulator,
+    signed 4-bit windows); the XLA windowed-table path below is the
+    bit-exact CPU reference.  Override with SVTPU_MSM_FUSED=0/1.  The fused
+    path lays tables out per (point, proof-lane), so batches much smaller
+    than a lane block would waste the padding — those fall back to XLA."""
     import os
 
-    if (
-        os.environ.get("SVTPU_MSM_TLAYOUT") == "1"
-        and len(points.batch_shape) == 2
-    ):
-        return _msm_batched_tlayout(points, scalars_canon)
+    from snark_verifier_tpu import config
+
+    batch = points.batch_shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    fused = os.environ.get("SVTPU_MSM_FUSED")
+    use_fused = config.use_pallas() if fused is None else fused == "1"
+    if use_fused and B >= 64:
+        from snark_verifier_tpu.ops.msm_pallas import msm_batched_fused
+
+        return msm_batched_fused(points, scalars_canon)
     return _msm_batched_xla(points, scalars_canon)
 
 
@@ -114,87 +120,6 @@ def _msm_batched_xla(points: G1, scalars_canon) -> G1:
     acc0 = C.g1_identity(batch_shape)
     acc, _ = jax.lax.scan(window_step, acc0, digits_t)
     return acc
-
-
-@jax.jit
-def _msm_batched_tlayout(points: G1, scalars_canon) -> G1:
-    """msm_batched in (limb, lane) layout: the B*n point slots live on the
-    lane axis, every point op is one fused Pallas kernel call, and the only
-    transposes are at MSM entry/exit.
-
-    Lane l = b*n + i; tree partners stay within a proof's lane group, so
-    tier padding lanes never mix with real ones.
-    """
-    from snark_verifier_tpu.ops import field_pallas as FP
-    from snark_verifier_tpu.ops.curve_pallas import g1_add_t, g1_double_t
-
-    B, n = points.batch_shape
-    N = B * n
-    L1 = FP._padded_total(N)  # lane count for per-term ops
-    L2 = FP._padded_total(B)  # lane count for the accumulator
-
-    def to_t(arr, count, L):
-        flat = arr.reshape(count, NLIMB).T
-        return jnp.pad(flat, ((0, 0), (0, L - count)))
-
-    pts_t = tuple(to_t(c, N, L1) for c in (points.x, points.y, points.z))
-    ident_t = tuple(
-        to_t(jnp.broadcast_to(c, (N, NLIMB)), N, L1)
-        for c in (C.g1_identity(()).x, C.g1_identity(()).y, C.g1_identity(()).z)
-    )
-
-    # table[k] = k * P, k in 0..15, each component (16, L1)
-    def tstep(prev, _):
-        nxt = g1_add_t(prev, pts_t)
-        return nxt, nxt
-
-    _, rest = jax.lax.scan(tstep, pts_t, None, length=(1 << WINDOW) - 2)
-    table = tuple(
-        jnp.concatenate([i0[None], p0[None], r0], axis=0)
-        for i0, p0, r0 in zip(ident_t, pts_t, rest)
-    )  # 3 x (16tab, 16, L1)
-
-    digits = _digits(scalars_canon)  # (B, n, 64)
-    digits_t = jnp.moveaxis(digits, -1, 0)[::-1].reshape(NWINDOWS, N)
-    digits_t = jnp.pad(digits_t, ((0, 0), (0, L1 - N)))  # pad digits -> 0 -> identity
-
-    # tree-fold bookkeeping (static)
-    lane = jnp.arange(L1)
-    i_of = lane % n
-    rounds = max(1, int(np.ceil(np.log2(n))))
-    acc_gather = jnp.arange(L2) * n  # lane of each proof's slot 0 (clipped)
-    acc_gather = jnp.minimum(acc_gather, L1 - 1)
-    real_b = (jnp.arange(L2) < B)[None, :]
-
-    def window_step(acc, dig):
-        for _ in range(4):  # WINDOW doublings
-            acc = g1_double_t(acc)
-        idx = dig[None, None, :].astype(jnp.int32)
-        picked = tuple(
-            jnp.take_along_axis(t, jnp.broadcast_to(idx, (1,) + t.shape[1:]), axis=0)[0]
-            for t in table
-        )
-        cur = picked
-        for r in range(rounds):
-            stride = 1 << r
-            partner = jnp.minimum(lane + stride, L1 - 1)
-            valid = ((i_of % (2 * stride)) == 0) & (i_of + stride < n)
-            moved = tuple(c[:, partner] for c in cur)
-            merged = g1_add_t(cur, moved)
-            cur = tuple(
-                jnp.where(valid[None, :], m, c) for m, c in zip(merged, cur)
-            )
-        contrib = tuple(
-            jnp.where(real_b, c[:, acc_gather], iz[:, :L2])
-            for c, iz in zip(cur, ident_t)
-        )
-        return g1_add_t(acc, contrib), None
-
-    acc0 = tuple(i[:, :L2] for i in ident_t)
-    acc, _ = jax.lax.scan(window_step, acc0, digits_t)
-
-    out = tuple(a[:, :B].T for a in acc)
-    return G1(*out)
 
 
 @jax.jit
