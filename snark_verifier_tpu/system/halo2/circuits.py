@@ -52,6 +52,19 @@ class PermutationInfo:
 
 
 @dataclass
+class LookupInfo:
+    """One halo2 v0.3 lookup: prover-side metadata matching the constraints
+    the protocol carries (system/halo2.rs:662-727)."""
+
+    input_exprs: list  # [Expression] compressed with theta
+    table_exprs: list
+    permuted_input_poly: int  # a'
+    permuted_table_poly: int  # s'
+    z_poly: int
+    theta_challenge: int = 0  # global challenge index of theta
+
+
+@dataclass
 class ProvingKey:
     protocol: PlonkProtocol
     srs: Srs
@@ -63,6 +76,7 @@ class ProvingKey:
     synthesize: Callable  # instances -> {advice poly idx: lagrange values}
     extended_k: int
     coset_gen: int = bn254.FR_GENERATOR
+    lookups: list = None  # [LookupInfo]
 
 
 def build_standard_plonk(k: int, srs: Srs):
@@ -254,6 +268,265 @@ def build_fibonacci(k: int, srs: Srs):
         extended_k=k + 2,
     )
     return protocol, pk
+
+
+def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
+    """StandardPlonk extended with a 2-expression range-square lookup:
+      (q_range * a, q_range * b) IN (TABLE_V, TABLE_SQ)
+    where TABLE rows are (v, v^2) for v in 0..2^range_bits-1 (plus (0, 0)
+    padding).  Exercises the halo2 v0.3 lookup argument end-to-end — theta
+    compression, permuted columns, grand product — alongside the gate and
+    permutation arguments, mirroring the reference's MainGateWithRange role
+    (system/halo2/test/circuit/maingate.rs:15-113; constraint shapes per
+    system/halo2.rs:662-727 with zk=false).
+    """
+    assert (1 << k) >= (1 << range_bits) and k >= 4
+    domain = Domain.new(k)
+    n = domain.n
+
+    # ---- poly index layout (reference ordering: fixed | perm-fixed |
+    # instance | advice | lookup permuted | perm z, lookup z | quotient) -----
+    Q_A, Q_B, Q_C, Q_AB, CONST, Q_RANGE, TABLE_V, TABLE_SQ = range(8)
+    S_A, S_B, S_C = 8, 9, 10
+    INSTANCE = 11
+    A, B, C = 12, 13, 14
+    A_PERM, S_PERM = 15, 16  # lookup permuted input / table
+    Z = 17  # permutation grand product
+    Z_LK = 18  # lookup grand product
+    QUOT = 19
+
+    P = lambda idx, rot=0: Polynomial(Query.new(idx, rot))
+    theta, beta, gamma, alpha = Challenge(0), Challenge(1), Challenge(2), Challenge(3)
+
+    gate = (
+        P(Q_A) * P(A)
+        + P(Q_B) * P(B)
+        + P(Q_C) * P(C)
+        + P(Q_AB) * P(A) * P(B)
+        + P(CONST)
+        + P(INSTANCE)
+    )
+
+    # permutation constraints (zk=false, single chunk)
+    l_0 = CommonLagrange(0)
+    one = Constant(1)
+    cols = [P(A), P(B), P(C)]
+    sigmas = [P(S_A), P(S_B), P(S_C)]
+    ident = CommonIdentity()
+    perm_l0 = l_0 * (one - P(Z))
+    left = P(Z, 1)
+    for col, sigma in zip(cols, sigmas):
+        left = left * (col + beta * sigma + gamma)
+    right = P(Z)
+    delta_pow = 1
+    for col in cols:
+        right = right * (col + beta * Constant(delta_pow) * ident + gamma)
+        delta_pow = delta_pow * DELTA % bn254.R
+    perm_main = left - right
+
+    # lookup constraints (system/halo2.rs:662-727, zk=false)
+    input_exprs = (P(Q_RANGE) * P(A), P(Q_RANGE) * P(B))
+    table_exprs = (P(TABLE_V), P(TABLE_SQ))
+    compressed_input = DistributePowers(input_exprs, theta)
+    compressed_table = DistributePowers(table_exprs, theta)
+    lk_l0 = l_0 * (one - P(Z_LK))
+    lk_main = P(Z_LK, 1) * (P(A_PERM) + beta) * (P(S_PERM) + gamma) - P(Z_LK) * (
+        compressed_input + beta
+    ) * (compressed_table + gamma)
+    lk_perm = (P(A_PERM) - P(S_PERM)) * (P(A_PERM) - P(A_PERM, -1))
+
+    numerator = DistributePowers(
+        (gate, perm_l0, perm_main, lk_l0, lk_main, lk_perm), alpha
+    )
+    degree = numerator.degree()  # 5 (z * compressed_input * compressed_table)
+    num_chunk = degree - 1
+
+    evaluations = (
+        [Query.new(A), Query.new(B), Query.new(C)]
+        + [Query.new(i) for i in range(8)]
+        + [Query.new(i) for i in (S_A, S_B, S_C)]
+        + [Query.new(Z), Query.new(Z, 1)]
+        + [
+            Query.new(Z_LK),
+            Query.new(Z_LK, 1),
+            Query.new(A_PERM),
+            Query.new(A_PERM, -1),
+            Query.new(S_PERM),
+        ]
+    )
+    queries = (
+        [Query.new(A), Query.new(B), Query.new(C)]
+        + [Query.new(Z), Query.new(Z, 1)]
+        + [
+            Query.new(Z_LK),
+            Query.new(A_PERM),
+            Query.new(S_PERM),
+            Query.new(A_PERM, -1),
+            Query.new(Z_LK, 1),
+        ]
+        + [Query.new(i) for i in range(8)]
+        + [Query.new(i) for i in (S_A, S_B, S_C)]
+        + [Query.new(QUOT)]
+    )
+
+    # ---- fixed assignments -------------------------------------------------
+    fixed = {i: [0] * n for i in range(8)}
+    fixed[Q_A][0] = (-1) % bn254.R
+    for idx, col in enumerate([Q_A, Q_B, Q_C, Q_AB, CONST], start=1):
+        fixed[col][1] = idx
+    # lookup rows 8..11 range-check (a, b) = (v, v^2)
+    lookup_rows = [8, 9, 10, 11]
+    for j in lookup_rows:
+        fixed[Q_RANGE][j] = 1
+    for v in range(1 << range_bits):
+        fixed[TABLE_V][v] = v
+        fixed[TABLE_SQ][v] = v * v % bn254.R
+
+    perm_cols = [A, B, C]
+    cycles = [[(0, 2), (1, 3), (2, 4)]]
+    sigma_values = _sigmas(domain, len(perm_cols), cycles)
+    for sp, vals in zip((S_A, S_B, S_C), sigma_values):
+        fixed[sp] = vals
+
+    preprocessed = []
+    for idx in list(range(8)) + [S_A, S_B, S_C]:
+        preprocessed.append(srs.commit(lagrange_to_coeffs(fixed[idx], domain)))
+
+    protocol = PlonkProtocol(
+        domain=domain,
+        preprocessed=preprocessed,
+        num_instance=[1],
+        num_witness=[3, 2, 2],
+        num_challenge=[1, 2, 1],
+        evaluations=evaluations,
+        queries=queries,
+        quotient=QuotientPolynomial(1, num_chunk, numerator),
+        transcript_initial_state=(
+            int.from_bytes(
+                keccak256(f"svtpu-lookup-plonk-k{k}-r{range_bits}".encode()), "big"
+            )
+            % bn254.R
+        ),
+    )
+
+    def synthesize(instances, range_values=(3, 7, 0, 15)):
+        x = instances[0][0]
+        a = [0] * n
+        b = [0] * n
+        c = [0] * n
+        a[0] = x
+        a[1] = (-5) % bn254.R
+        a[2] = 1
+        b[3] = 1
+        c[4] = 1
+        for j, v in zip(lookup_rows, range_values):
+            a[j] = v % bn254.R
+            b[j] = v * v % bn254.R
+        return {A: a, B: b, C: c}
+
+    pk = ProvingKey(
+        protocol=protocol,
+        srs=srs,
+        fixed_values=fixed,
+        permutation=PermutationInfo(
+            columns=perm_cols, sigma_polys=[S_A, S_B, S_C], chunk=3
+        ),
+        advice_phases=[[A, B, C], [A_PERM, S_PERM], [Z, Z_LK]],
+        z_polys=[Z],
+        instance_polys=[INSTANCE],
+        synthesize=synthesize,
+        extended_k=k + 3,  # degree-5 numerator needs 8n evaluation points
+        lookups=[
+            LookupInfo(
+                input_exprs=list(input_exprs),
+                table_exprs=list(table_exprs),
+                permuted_input_poly=A_PERM,
+                permuted_table_poly=S_PERM,
+                z_poly=Z_LK,
+                theta_challenge=0,
+            )
+        ],
+    )
+    return protocol, pk
+
+
+def build_mock_accumulator_plonk(k: int, srs: Srs):
+    """A circuit whose 16 instance values are the 4x68-bit limbs of a VALID
+    KZG accumulator — the reference's mock-accumulator recursion fixture
+    (system/halo2/test/kzg.rs:30-46): lhs = tau*G = srs.g[1], rhs = G =
+    srs.g[0], so e(lhs, g2) * e(rhs, -s_g2) == 1 holds by construction.
+
+    Gate: q_i * (a - instance) = 0 copies the limbs into an advice column
+    (the MainGateWithRange analogue of exposing them).  The protocol carries
+    accumulator_indices = [(0,0)..(0,15)], so the verifier decodes the old
+    accumulator from the instances (proof.rs:146-157) and decide_all checks
+    it alongside the fresh one.
+
+    Returns (protocol, pk, instance_limbs).
+    """
+    from snark_verifier_tpu.pcs.kzg.accumulator import fe_to_limbs
+
+    domain = Domain.new(k)
+    n = domain.n
+    assert n >= 17  # 16 limb rows + one free row keeping the quotient nonzero
+
+    # limbs of (tau*G, G) in the reference's order [lhs.x, lhs.y, rhs.x, rhs.y]
+    lhs, rhs = srs.g[1], srs.g[0]
+    limbs = []
+    for coord in (lhs[0], lhs[1], rhs[0], rhs[1]):
+        limbs.extend(fe_to_limbs(coord))
+
+    # poly layout: fixed q_i = 0; instance = 1; advice a = 2; quotient = 3
+    Q_I, INSTANCE, A, QUOT = 0, 1, 2, 3
+    P = lambda idx, rot=0: Polynomial(Query.new(idx, rot))
+    gate = P(Q_I) * (P(A) - P(INSTANCE))
+    numerator = DistributePowers((gate,), Challenge(3))
+
+    evaluations = [Query.new(A), Query.new(Q_I)]
+    queries = [Query.new(A), Query.new(Q_I), Query.new(QUOT)]
+
+    q_vals = [1] * 16 + [0] * (n - 16)
+    fixed = {Q_I: q_vals}
+    preprocessed = [srs.commit(lagrange_to_coeffs(q_vals, domain))]
+
+    protocol = PlonkProtocol(
+        domain=domain,
+        preprocessed=preprocessed,
+        num_instance=[16],
+        num_witness=[1, 0, 0],
+        num_challenge=[1, 2, 1],
+        evaluations=evaluations,
+        queries=queries,
+        quotient=QuotientPolynomial(1, max(1, numerator.degree() - 1), numerator),
+        transcript_initial_state=(
+            int.from_bytes(keccak256(f"svtpu-mock-accumulator-k{k}".encode()), "big")
+            % bn254.R
+        ),
+        accumulator_indices=[[(0, i) for i in range(16)]],
+    )
+
+    def synthesize(instances):
+        a = [0] * n
+        for j, v in enumerate(instances[0]):
+            a[j] = v % bn254.R
+        # an unconstrained nonzero cell so a(X) != instance(X) as polynomials
+        # (otherwise the quotient is identically zero and its commitment
+        # would be the identity point, which transcripts reject)
+        a[16] = 1
+        return {A: a}
+
+    pk = ProvingKey(
+        protocol=protocol,
+        srs=srs,
+        fixed_values=fixed,
+        permutation=None,
+        advice_phases=[[A], [], []],
+        z_polys=[],
+        instance_polys=[INSTANCE],
+        synthesize=synthesize,
+        extended_k=k + 2,
+    )
+    return protocol, pk, limbs
 
 
 def _sigmas(domain, num_cols, cycles):

@@ -4,9 +4,12 @@ Plays the role of halo2's prover behind the SDK's `gen_proof`
 (snark-verifier-sdk/src/halo2.rs:115-185): given a ProvingKey it emits a
 proof byte stream in the exact transcript order the verifier reads
 (PlonkProof.read / proof.rs:52-169), for both the GWC and SHPLONK multiopen
-schemes.  Pure python ints — this is vector-generation machinery, not a
-performance path; the quotient is evaluated generically by walking the
-protocol's Expression AST over a coset evaluation domain.
+schemes.  Supports the permutation argument and the halo2 v0.3 lookup
+argument (permuted input/table columns + grand product, matching the
+constraints synthesized per system/halo2.rs:662-727).  Pure python ints —
+this is vector-generation machinery, not a performance path; the quotient is
+evaluated generically by walking the protocol's Expression AST over a coset
+evaluation domain.
 """
 
 from __future__ import annotations
@@ -24,8 +27,15 @@ R = bn254.R
 
 
 def create_proof(
-    pk, instances, scheme: str = "gwc", transcript_kind: str = "evm"
+    pk,
+    instances,
+    scheme: str = "gwc",
+    transcript_kind: str = "evm",
+    allow_unsatisfied: bool = False,
 ) -> bytes:
+    """Prove.  `allow_unsatisfied` skips the prover-side sanity asserts so a
+    deliberately-invalid witness still yields a proof (for negative tests —
+    the verifier must reject it)."""
     protocol = pk.protocol
     domain = protocol.domain
     n = domain.n
@@ -59,6 +69,13 @@ def create_proof(
     for idx in pk.fixed_values:
         coeffs[idx] = up.lagrange_to_coeffs(values[idx], domain)
 
+    lookups = getattr(pk, "lookups", None) or []
+    lookup_value_polys = {}  # poly idx -> which lookup & role
+    for lk in lookups:
+        lookup_value_polys[lk.permuted_input_poly] = ("permuted_input", lk)
+        lookup_value_polys[lk.permuted_table_poly] = ("permuted_table", lk)
+        lookup_value_polys[lk.z_poly] = ("z", lk)
+
     # ---- phases: witnesses + challenges ------------------------------------
     challenges = []
     for phase, (advice_polys, n_chal) in enumerate(
@@ -66,12 +83,17 @@ def create_proof(
     ):
         for idx in advice_polys:
             if idx in pk.z_polys:
-                values[idx] = _permutation_z(pk, values, challenges)
+                values[idx] = _permutation_z(pk, values, challenges, allow_unsatisfied)
+            elif idx in lookup_value_polys:
+                role, lk = lookup_value_polys[idx]
+                _materialize_lookup(
+                    lk, role, pk, values, challenges, allow_unsatisfied
+                )
             transcript.write_ec_point(EcPoint(loader, commit_poly(idx)))
         challenges.extend(s.value for s in transcript.squeeze_n_challenges(n_chal))
 
     # ---- quotient ----------------------------------------------------------
-    h_chunks = _quotient_chunks(pk, values, challenges)
+    h_chunks = _quotient_chunks(pk, values, challenges, allow_unsatisfied)
     for chunk in h_chunks:
         transcript.write_ec_point(EcPoint(loader, pk.srs.commit(chunk)))
 
@@ -110,7 +132,7 @@ def create_proof(
 # ---------------------------------------------------------------------------
 
 
-def _permutation_z(pk, values, challenges):
+def _permutation_z(pk, values, challenges, allow_unsatisfied=False):
     """Grand product z for the (single-chunk, zk=false) permutation argument."""
     perm = pk.permutation
     assert perm is not None and len(pk.z_polys) == 1, "single z chunk supported"
@@ -139,11 +161,109 @@ def _permutation_z(pk, values, challenges):
     for j in range(1, n):
         z[j] = z[j - 1] * num[j - 1] * den_inv[j - 1] % R
     # sanity: product over all rows telescopes to 1
-    assert z[n - 1] * num[n - 1] * den_inv[n - 1] % R == 1, "copy constraints unsatisfied"
+    if not allow_unsatisfied:
+        assert (
+            z[n - 1] * num[n - 1] * den_inv[n - 1] % R == 1
+        ), "copy constraints unsatisfied"
     return z
 
 
-def _quotient_chunks(pk, values, challenges):
+# ---------------------------------------------------------------------------
+# Lookup argument (halo2 v0.3 semantics; constraint shapes per
+# /root/reference/snark-verifier/src/system/halo2.rs:662-727, zk=false)
+# ---------------------------------------------------------------------------
+
+
+def eval_expr_on_domain(expr, values, challenges, n):
+    """Row-wise evaluation of a protocol Expression over the base domain.
+    Rotations are cyclic row shifts; CommonPolynomial nodes are not allowed
+    here (they only appear in system-synthesized constraints)."""
+
+    def rotated(q):
+        vals = values[q.poly]
+        r = q.rotation.value % n
+        return vals[r:] + vals[:r] if r else list(vals)
+
+    return expr.evaluate(
+        constant=lambda v: [v % R] * n,
+        common_poly=lambda key: (_ for _ in ()).throw(
+            ValueError("CommonPolynomial in lookup expression")
+        ),
+        poly=rotated,
+        challenge=lambda i: [challenges[i]] * n,
+        negated=lambda a: [(-x) % R for x in a],
+        sum_=lambda a, b: [(x + y) % R for x, y in zip(a, b)],
+        product=lambda a, b: [x * y % R for x, y in zip(a, b)],
+        scaled=lambda a, v: [x * v % R for x in a],
+    )
+
+
+def _compress(exprs, theta, values, challenges, n):
+    """sum_i expr_i * theta^(len-1-i), row-wise (DistributePowers order)."""
+    acc = [0] * n
+    for e in exprs:
+        ev = eval_expr_on_domain(e, values, challenges, n)
+        acc = [(a * theta + v) % R for a, v in zip(acc, ev)]
+    return acc
+
+
+def _lookup_permute(a_c, s_c, allow_unsatisfied):
+    """halo2's permute step: sort the compressed input; the permuted table
+    pins each first occurrence (so a'[i] == s'[i] there) and fills repeats
+    (where a'[i] == a'[i-1]) with leftover table values."""
+    from collections import Counter
+
+    n = len(a_c)
+    sorted_input = sorted(a_c)
+    counts = Counter(s_c)
+    permuted_table = [None] * n
+    for i, v in enumerate(sorted_input):
+        if i == 0 or v != sorted_input[i - 1]:
+            if counts[v] > 0:
+                counts[v] -= 1
+                permuted_table[i] = v
+            elif not allow_unsatisfied:
+                raise ValueError(f"lookup input {v} not in table")
+    leftovers = iter([v for v, c in counts.items() for _ in range(c)])
+    for i in range(n):
+        if permuted_table[i] is None:
+            permuted_table[i] = next(leftovers)
+    return sorted_input, permuted_table
+
+
+def _materialize_lookup(lk, role, pk, values, challenges, allow_unsatisfied):
+    """Compute the permuted pair (after theta) or the grand product z (after
+    beta/gamma) for one lookup, storing results in `values`."""
+    n = pk.protocol.domain.n
+    if role in ("permuted_input", "permuted_table"):
+        if lk.permuted_input_poly in values:
+            return
+        theta = challenges[lk.theta_challenge]
+        a_c = _compress(lk.input_exprs, theta, values, challenges, n)
+        s_c = _compress(lk.table_exprs, theta, values, challenges, n)
+        a_p, s_p = _lookup_permute(a_c, s_c, allow_unsatisfied)
+        values[lk.permuted_input_poly] = a_p
+        values[lk.permuted_table_poly] = s_p
+        values[("lookup_compressed", lk.z_poly)] = (a_c, s_c)
+    else:  # z: z[j+1] = z[j] * (A_c+beta)(S_c+gamma) / ((a'+beta)(s'+gamma))
+        beta, gamma = challenges[-2], challenges[-1]
+        a_c, s_c = values.pop(("lookup_compressed", lk.z_poly))
+        a_p = values[lk.permuted_input_poly]
+        s_p = values[lk.permuted_table_poly]
+        num = [(a_c[j] + beta) * (s_c[j] + gamma) % R for j in range(n)]
+        den = [(a_p[j] + beta) * (s_p[j] + gamma) % R for j in range(n)]
+        den_inv = bn254.batch_inv_mod(den, R)
+        z = [1] * n
+        for j in range(1, n):
+            z[j] = z[j - 1] * num[j - 1] * den_inv[j - 1] % R
+        if not allow_unsatisfied:
+            assert (
+                z[n - 1] * num[n - 1] * den_inv[n - 1] % R == 1
+            ), "lookup argument unsatisfied"
+        values[lk.z_poly] = z
+
+
+def _quotient_chunks(pk, values, challenges, allow_unsatisfied=False):
     """Evaluate the quotient numerator on an extended coset by walking the
     Expression AST, divide by X^n - 1, split into chunks."""
     protocol = pk.protocol
@@ -214,7 +334,10 @@ def _quotient_chunks(pk, values, challenges):
     h_vals = [numerator[j] * zn_minus_one_inv[j] % R for j in range(n_ext)]
     h_coeffs = up.coset_interp(h_vals, ext_k, coset_g)
     num_chunk = protocol.quotient.num_chunk
-    assert all(c == 0 for c in h_coeffs[num_chunk * n :]), "quotient degree overflow"
+    if not allow_unsatisfied:
+        assert all(
+            c == 0 for c in h_coeffs[num_chunk * n :]
+        ), "quotient degree overflow"
     return [h_coeffs[i * n : (i + 1) * n] for i in range(num_chunk)]
 
 
