@@ -144,6 +144,32 @@ class JaxLoader(Loader):
         out = MSM.msm_batched(points, scalars)
         return EcPoint(self, JaxPoint(proj=out))
 
+    # -- accumulator limb decoding (pcs/kzg/accumulator.rs:36-83) ------------
+    def fq_from_limb_scalars(self, limb_scalars, bits: int = 68):
+        """Compose Fr limb scalars into one Fq value: sum_i limb_i * 2^(bits*i)
+        mod p, entirely in-graph.  Limb values are taken mod p like the
+        reference's `fe_from_limbs`, so out-of-range limbs cannot overflow."""
+        acc = None
+        for i, s in enumerate(limb_scalars):
+            canon = F.from_mont(s.value, FR)  # canonical, < r < p
+            fq = F.to_mont(canon, FQ)
+            shift = jnp.asarray(FQ.encode([pow(2, bits * i, bn254.P)])[0])
+            term = F.mont_mul(fq, shift, FQ)
+            acc = term if acc is None else F.add(acc, term, FQ)
+        return acc
+
+    def ec_point_from_limbs(self, scalars, limbs: int = 4, bits: int = 68):
+        """16 Fr limb scalars -> one affine G1 EcPoint (x, y from 2*limbs
+        scalars each); folds the on-curve check into the `ok` mask."""
+        assert len(scalars) == 2 * limbs
+        x = self.fq_from_limb_scalars(scalars[:limbs], bits)
+        y = self.fq_from_limb_scalars(scalars[limbs:], bits)
+        x = jnp.broadcast_to(x, self.batch_shape + (16,))
+        y = jnp.broadcast_to(y, self.batch_shape + (16,))
+        pt = JaxPoint(x, y, jnp.zeros(self.batch_shape, bool))
+        self.require(CRV.g1_is_on_curve(pt.as_proj()))
+        return EcPoint(self, pt)
+
     # -- decider hooks --------------------------------------------------------
     def decide_ipa(self, accumulator, dk):
         """IPA decide: U == MSM(g, h_coeffs(xi)) via the large-N Pippenger

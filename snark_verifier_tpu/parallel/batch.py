@@ -62,18 +62,35 @@ def build_verifier(protocol, As, svk, decide_dk=None, transcript_kind: str = "ev
         proof = verifier.read_proof(svk, loaded, cols, transcript)
         accumulators = verifier.verify(svk, loaded, cols, proof)
 
-        acc = accumulators[0]
+        # Every accumulator (the fresh one plus any old ones decoded from the
+        # instance columns) must be decided — mirroring decide_all
+        # (verifier/plonk.rs:125-134).  With one accumulator the coordinate
+        # outputs are (B, 16); with A > 1 they gain a leading axis (A, B, 16)
+        # so deferred deciding sees all of them.
         if decide_dk is not None:
-            loader.decide_pairing(acc, decide_dk)
-        lhs = acc.lhs.value.as_affine()
-        rhs = acc.rhs.value.as_affine()
-        return {
-            "lhs_x": F.from_mont(lhs.x, F.FQ),
-            "lhs_y": F.from_mont(lhs.y, F.FQ),
-            "rhs_x": F.from_mont(rhs.x, F.FQ),
-            "rhs_y": F.from_mont(rhs.y, F.FQ),
-            "ok": loader.ok,
-        }
+            for acc in accumulators:
+                loader.decide_pairing(acc, decide_dk)
+
+        def coords(acc):
+            lhs = acc.lhs.value.as_affine()
+            rhs = acc.rhs.value.as_affine()
+            return {
+                "lhs_x": F.from_mont(lhs.x, F.FQ),
+                "lhs_y": F.from_mont(lhs.y, F.FQ),
+                "rhs_x": F.from_mont(rhs.x, F.FQ),
+                "rhs_y": F.from_mont(rhs.y, F.FQ),
+            }
+
+        if len(accumulators) == 1:
+            out = coords(accumulators[0])
+        else:
+            per_acc = [coords(a) for a in accumulators]
+            out = {
+                k: jnp.stack([jnp.broadcast_to(c[k], batch_shape + (16,)) for c in per_acc])
+                for k in per_acc[0]
+            }
+        out["ok"] = loader.ok
+        return out
 
     return verify_fn
 

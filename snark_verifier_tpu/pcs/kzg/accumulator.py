@@ -23,8 +23,10 @@ class KzgAccumulator:
 
 class LimbsEncoding(AccumulatorEncoding):
     """Decode 4*LIMBS scalars (68-bit limbs of lhs.x, lhs.y, rhs.x, rhs.y)
-    into two G1 points (accumulator.rs:36-83).  Native backend only — the
-    JAX loader decodes limbs in-graph via its own implementation.
+    into two G1 points (accumulator.rs:36-83).  Dispatches on the loader:
+    native scalars (python ints) decode on the host with an on-curve check;
+    JAX scalars decode in-graph via `loader.decode_limbs_to_point`, with the
+    on-curve check folded into the batch `ok` mask.
     """
 
     limbs = LIMBS
@@ -34,6 +36,13 @@ class LimbsEncoding(AccumulatorEncoding):
     def from_repr(cls, scalars):
         assert len(scalars) == 4 * cls.limbs
         loader = scalars[0].loader
+
+        if hasattr(loader, "ec_point_from_limbs"):
+            # staged backend (JAX / EVM): decode inside the staged program;
+            # the JAX path folds its on-curve check into the ok mask
+            lhs = loader.ec_point_from_limbs(scalars[: 2 * cls.limbs], cls.limbs, cls.bits)
+            rhs = loader.ec_point_from_limbs(scalars[2 * cls.limbs :], cls.limbs, cls.bits)
+            return KzgAccumulator(lhs, rhs)
 
         def fe_from_limbs(limbs):
             acc = 0
