@@ -117,7 +117,9 @@ class Loader:
         raise NotImplementedError
 
     def pow_const(self, a: Scalar, exponent: int) -> Scalar:
-        assert exponent >= 1
+        assert exponent >= 0
+        if exponent == 0:
+            return self.load_one()
         result = None
         base = a
         e = exponent
@@ -129,8 +131,25 @@ class Loader:
         return result
 
     def batch_invert(self, scalars: list) -> list:
-        """Invert many scalars with one field inversion where possible."""
-        return [self.invert(s) for s in scalars]
+        """Invert many scalars with ONE field inversion via the Montgomery
+        trick (3(n-1) muls + 1 invert), mirroring the generated batch-invert
+        block of the reference's EvmLoader (loader/evm/loader.rs:827-899) —
+        but implemented once, loader-generically, so every backend (native /
+        JAX / EVM-codegen) gets it.  Backends with a cheaper vectorized
+        inversion may override."""
+        n = len(scalars)
+        if n <= 1:
+            return [self.invert(s) for s in scalars]
+        prefix = [scalars[0]]
+        for s in scalars[1:]:
+            prefix.append(self.mul(prefix[-1], s))
+        running = self.invert(prefix[-1])
+        out = [None] * n
+        for i in range(n - 1, 0, -1):
+            out[i] = self.mul(running, prefix[i - 1])
+            running = self.mul(running, scalars[i])
+        out[0] = running
+        return out
 
     def ec_point_load_const(self, point) -> EcPoint:
         """point: (x, y) int pair or None for identity."""
