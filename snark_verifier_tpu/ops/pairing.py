@@ -127,33 +127,57 @@ def miller_loop_const_q(px, py, q) -> tuple:
     return f
 
 
-def _fq12_pow_scan(a, exponent: int):
-    """a^e by square-and-multiply under `lax.scan` (one sqr+mul body — the
-    XLA-compile-friendly form; the Scott addition chain, while ~6x cheaper
-    at runtime, unrolls ~25 Fq12 ops inline and blows up compile time)."""
-    bits = bin(exponent)[3:]  # MSB-first, skip leading 1
-    bit_arr = jnp.asarray([int(b) for b in bits], jnp.uint32)
+_POW_CHUNK = 1000  # max scan trip count per dispatch: longer sqr/mul scans
+                   # (>= ~2048 steps) kill the TPU worker ("kernel fault" —
+                   # measured: 1024 ok, 2048 crashes), so the exponent is
+                   # staged as a host loop over equal-size jitted chunks.
+
+
+@jax.jit
+def _pow_chunk_stage(acc, a, bits):
+    """acc <- acc^(2^len(bits)) * a^int(bits) (MSB-first square-and-multiply
+    over one chunk of exponent bits)."""
 
     def step(acc, bit):
         acc = T.fq12_sqr(acc)
         with_mul = T.fq12_mul(acc, a)
         return T.fq12_select(bit.astype(bool), with_mul, acc), None
 
-    out, _ = jax.lax.scan(step, a, bit_arr)
+    out, _ = jax.lax.scan(step, acc, bits)
     return out
+
+
+def _fq12_pow_scan(a, exponent: int):
+    """a^e by square-and-multiply lax.scan, staged in <= _POW_CHUNK-step
+    dispatches (one compiled chunk body reused for all chunks).  The Scott
+    addition chain, while ~6x cheaper at runtime, unrolls ~25 Fq12 ops
+    inline and blows up compile time.  Do NOT wrap in an outer jit — that
+    re-fuses the chunks into one giant scan and re-triggers the crash."""
+    bits = bin(exponent)[2:]  # MSB-first, acc starts at one
+    nchunks = -(-len(bits) // _POW_CHUNK)
+    size = -(-len(bits) // nchunks)
+    bits = bits.zfill(nchunks * size)  # leading zeros: acc stays one
+    shape = jax.tree_util.tree_leaves(a)[0].shape[:-1]
+    acc = T.fq12_ones(shape)
+    for c in range(nchunks):
+        chunk = jnp.asarray(
+            [int(b) for b in bits[c * size : (c + 1) * size]], jnp.uint32
+        )
+        acc = _pow_chunk_stage(acc, a, chunk)
+    return acc
 
 
 _FULL_EXP = (bn254.P**12 - 1) // bn254.R
 
 
 def final_exponentiation(f, shape=()):
-    """f^((p^12-1)/r) as ONE scanned exponentiation by the full ~3055-bit
-    exponent.
+    """f^((p^12-1)/r) as a staged scanned exponentiation by the full
+    ~3055-bit exponent.
 
     The easy-part/hard-part split (inversion, Frobenius maps, addition
     chains — see util/bn254.py final_exponentiation_chain) is ~3x cheaper at
     runtime but instantiates dozens of Fq12 ops inline, which multiplies XLA
-    compile time by minutes; the single scan keeps the compiled graph at one
+    compile time by minutes; the scan keeps the compiled graph at one
     square-and-multiply body.  Deciding runs once per folded batch, so
     runtime here is not on the throughput path.
     """
@@ -179,8 +203,9 @@ def _combine_stage(f1, f2, lhs_inf, rhs_inf):
     return T.fq12_mul(neutralize(f1, lhs_inf), neutralize(f2, rhs_inf))
 
 
-@jax.jit
 def _final_exp_stage(f):
+    # NOT jitted: final_exponentiation stages its own chunked scans; an outer
+    # jit would fuse them back into one >3000-step scan (TPU worker crash).
     return final_exponentiation(f)
 
 
