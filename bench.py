@@ -1,11 +1,17 @@
 """Benchmark: batched Halo2 PLONK+KZG verification throughput on TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "proofs/s", "vs_baseline": N}
+Covers the BASELINE.md configs:
+  1. GWC succinct batch verify (primary metric, k=BENCH_K standard-plonk)
+  2. SHPLONK succinct batch verify
+  3. batch decide (random-fold + one pairing) and a 2^16-point Pippenger MSM
+  4. KZG accumulation of 4 proofs (native fold) + device decide
 
-vs_baseline is measured throughput relative to the repo north star
-(BASELINE.json: >= 1000 proofs/s on a v5e-8, i.e. 125 proofs/s/chip); this
-bench runs on however many chips are visible (usually one).
+Timing forces a host copy (np.asarray) of every output leaf because
+`block_until_ready` does NOT block through the axon TPU tunnel (CLAUDE.md).
+
+The LAST stdout line is the primary JSON metric:
+  {"metric": ..., "value": N, "unit": "proofs/s", "vs_baseline": N, "configs": {...}}
+(the driver parses the final JSON line; detail goes to stderr first).
 """
 
 from __future__ import annotations
@@ -23,83 +29,147 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtpu_bench")
 
 from snark_verifier_tpu.parallel.batch import (  # noqa: E402
+    build_batch_decider,
     build_verifier,
     pack_instances,
     pack_proofs,
 )
-from snark_verifier_tpu.pcs.kzg import KzgGwc  # noqa: E402
+from snark_verifier_tpu.pcs.kzg import KzgGwc, KzgShplonk  # noqa: E402
 from snark_verifier_tpu.sdk import gen_proof  # noqa: E402
 from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk  # noqa: E402
 from snark_verifier_tpu.system.halo2.srs import gen_srs  # noqa: E402
 
-K = int(os.environ.get("BENCH_K", "4"))
-# default batch 3640: 3640 proofs x 18 MSM terms = 65520 lanes, filling the
-# Pallas kernels' 65536-lane tier almost exactly (1820 fills the 32768 tier)
-BATCH = int(os.environ.get("BENCH_BATCH", "3640"))
+K = int(os.environ.get("BENCH_K", "8"))
+# default batch 1820: 1820 proofs x 18 MSM terms = 32760 lanes, filling the
+# Pallas kernels' 32768-lane tier almost exactly (3640 fills the 65536 tier)
+BATCH = int(os.environ.get("BENCH_BATCH", "1820"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4").split(",")
 N_UNIQUE = 4
+PER_CHIP_TARGET = 1000.0 / 8.0  # north-star v5e-8 target, per chip
 
 
-def main():
-    srs = gen_srs(K)
-    protocol, pk = build_standard_plonk(K, srs)
+def _sync(out):
+    """Force device->host copies; the only reliable timing barrier here."""
+    return jax.tree_util.tree_map(np.asarray, out)
 
+
+def _detail(d):
+    print(json.dumps({"detail": d}), file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _bench_fn(fn, *args, iters=ITERS):
+    """Returns (best_seconds, first_output, compile_seconds)."""
+    t0 = time.time()
+    out = _sync(fn(*args))
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = _sync(fn(*args))
+        times.append(time.time() - t0)
+    return min(times), out, compile_s
+
+
+def _proof_batch(pk, scheme):
     instances = [[[10_000 + i]] for i in range(N_UNIQUE)]
     proofs = [
-        gen_proof(pk, ins, "gwc", cache_name=f"bench_k{K}_{i}")
+        gen_proof(pk, ins, scheme, cache_name=f"bench_k{K}_{i}")
         for i, ins in enumerate(instances)
     ]
     reps = BATCH // N_UNIQUE
     proof_arr = jnp.tile(pack_proofs(proofs), (reps, 1))
     inst_arr = jnp.tile(pack_instances(instances), (reps, 1, 1))
+    return proof_arr, inst_arr
 
+
+def main():
+    srs = gen_srs(K)
+    protocol, pk = build_standard_plonk(K, srs)
+    configs = {}
+    primary = None
+
+    # ---- config 1: GWC succinct batch verify (primary) ---------------------
+    proof_arr, inst_arr = _proof_batch(pk, "gwc")
     fn = jax.jit(build_verifier(protocol, KzgGwc, srs.g[0]))
+    best, out, compile_s = _bench_fn(fn, proof_arr, inst_arr)
+    assert bool(out["ok"].all()), "config-1 proofs failed verification"
+    primary = BATCH / best
+    configs["gwc_succinct_proofs_per_s"] = round(primary, 2)
+    _detail({"config": 1, "batch": BATCH, "k": K, "best_s": round(best, 4),
+             "compile_s": round(compile_s, 1), "device": str(jax.devices()[0])})
 
-    t0 = time.time()
-    out = fn(proof_arr, inst_arr)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    assert bool(np.asarray(out["ok"]).all()), "bench proofs failed verification"
+    # ---- config 2: SHPLONK succinct batch verify ---------------------------
+    if "2" in CONFIGS:
+        sp_proofs, sp_inst = _proof_batch(pk, "shplonk")
+        fn2 = jax.jit(build_verifier(protocol, KzgShplonk, srs.g[0]))
+        best2, out2, compile2 = _bench_fn(fn2, sp_proofs, sp_inst)
+        assert bool(out2["ok"].all()), "config-2 proofs failed verification"
+        configs["shplonk_succinct_proofs_per_s"] = round(BATCH / best2, 2)
+        _detail({"config": 2, "best_s": round(best2, 4), "compile_s": round(compile2, 1)})
 
-    times = []
-    for _ in range(ITERS):
+    # ---- config 3: batch decide + large Pippenger MSM ----------------------
+    if "3" in CONFIGS:
+        dk = srs.decider_key()
+        decider = build_batch_decider(dk)
+        import random
+
+        rng = random.Random(0)
+        from snark_verifier_tpu.ops.limbs import ints_to_limbs
+        from snark_verifier_tpu.util import bn254 as bn
+
+        fold = jnp.asarray(
+            np.stack([ints_to_limbs([rng.randrange(bn.R)])[0] for _ in range(BATCH)])
+        )
+        args3 = (out["lhs_x"], out["lhs_y"], out["rhs_x"], out["rhs_y"], fold)
+        best3, ok3, compile3 = _bench_fn(decider, *args3, iters=1)
+        assert bool(np.asarray(ok3)), "config-3 batch decide failed"
+        configs["batch_decide_s"] = round(best3, 4)
+        _detail({"config": 3, "decide_best_s": round(best3, 4), "compile_s": round(compile3, 1)})
+        _msm_bench(configs)
+
+    # ---- config 4: accumulation of 4 proofs --------------------------------
+    if "4" in CONFIGS:
+        from snark_verifier_tpu.sdk import gen_snark
+        from snark_verifier_tpu.sdk.aggregation import aggregate_native
+
+        snarks = [
+            gen_snark(pk, [[20_000 + i]], "gwc", cache_name=f"bench_agg_k{K}_{i}",
+                      transcript_kind="poseidon")
+            for i in range(4)
+        ]
         t0 = time.time()
-        out = fn(proof_arr, inst_arr)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
+        agg = aggregate_native(KzgGwc, srs.g[0], snarks)
+        fold_s = time.time() - t0
+        from snark_verifier_tpu.ops import pairing as PAIR
+        from snark_verifier_tpu.ops.curve import g1_from_affine_ints
 
-    best = min(times)
-    throughput = BATCH / best
-    per_chip_target = 1000.0 / 8.0  # north-star v5e-8 target, per chip
+        dk = srs.decider_key()
+        lhs = g1_from_affine_ints([agg.accumulator.lhs.value])
+        rhs = g1_from_affine_ints([agg.accumulator.rhs.value])
+        ok4 = _sync(PAIR.kzg_pairing_check(lhs, rhs, dk.g2, dk.s_g2))
+        t0 = time.time()
+        ok4 = _sync(PAIR.kzg_pairing_check(lhs, rhs, dk.g2, dk.s_g2))
+        decide4_s = time.time() - t0
+        assert bool(np.asarray(ok4).all()), "config-4 aggregation decide failed"
+        configs["aggregate_4_fold_s"] = round(fold_s, 4)
+        configs["aggregate_decide_s"] = round(decide4_s, 4)
+        _detail({"config": 4, "fold_s": round(fold_s, 4), "decide_s": round(decide4_s, 4)})
+
     result = {
         "metric": "halo2_kzg_gwc_succinct_verify_throughput",
-        "value": round(throughput, 2),
+        "value": round(primary, 2),
         "unit": "proofs/s",
-        "vs_baseline": round(throughput / per_chip_target, 4),
+        "vs_baseline": round(primary / PER_CHIP_TARGET, 4),
+        "configs": configs,
     }
+    sys.stderr.flush()
     print(json.dumps(result))
 
-    if os.environ.get("BENCH_MSM") == "1":
-        _msm_bench()
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "batch": BATCH,
-                    "k": K,
-                    "iters": ITERS,
-                    "best_s": round(best, 4),
-                    "compile_s": round(compile_s, 1),
-                    "device": str(jax.devices()[0]),
-                }
-            }
-        ),
-        file=sys.stderr,
-    )
 
-
-def _msm_bench():
-    """Optional large-MSM throughput (BASELINE config 3 scale), to stderr."""
+def _msm_bench(configs):
+    """Large-MSM throughput (BASELINE config 3 scale: 2^16 points)."""
     import random
 
     from snark_verifier_tpu.ops import curve as C
@@ -107,7 +177,7 @@ def _msm_bench():
     from snark_verifier_tpu.ops.limbs import ints_to_limbs
     from snark_verifier_tpu.util import bn254 as bn
 
-    n = 1 << int(os.environ.get("BENCH_MSM_LOGN", "14"))
+    n = 1 << int(os.environ.get("BENCH_MSM_LOGN", "16"))
     rng = random.Random(0)
     base = [bn.g1_mul(bn.G1_GEN, i + 1) for i in range(64)]
     pts = C.g1_from_affine_ints(base * (n // 64))
@@ -120,12 +190,8 @@ def _msm_bench():
     out = M.msm_serial(pts, scal, 8)
     np.asarray(out.x)
     dt = time.time() - t0
-    print(
-        json.dumps(
-            {"detail": {"msm_points": n, "msm_s": round(dt, 3), "points_per_s": round(n / dt)}}
-        ),
-        file=sys.stderr,
-    )
+    configs["msm_2e16_points_per_s"] = round(n / dt)
+    _detail({"msm_points": n, "msm_s": round(dt, 3), "points_per_s": round(n / dt)})
 
 
 if __name__ == "__main__":
