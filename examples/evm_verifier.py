@@ -31,8 +31,8 @@ def main():
     print("proving + running the contract on calldata...")
     instances = [[4242]]
     proof = gen_proof(pk, instances, "gwc")
-    assert evm_verify(verifier, instances, proof) is True
-    print("  accepted valid proof")
+    gas = evm_verify(verifier, instances, proof)
+    print(f"  accepted valid proof, {gas} gas")
 
     bad = bytearray(proof)
     bad[133] ^= 1

@@ -12,12 +12,12 @@ generated program can be *executed* in-process by loader/evm_interp.py (the
 role revm plays for the reference, loader/evm/util/executor.rs) — no solc
 needed to test that a generated verifier accepts/rejects calldata.
 
-Design deltas vs the reference (documented, not accidental):
-* scalar expressions are materialized eagerly into memory slots (the
-  reference defers Sum/Product nodes with CSE, loader.rs:220-249) — more
-  mstores/gas, same semantics;
-* batch inversion emits one modexp per inverse rather than the generated
-  Montgomery-trick block (loader.rs:827-899).
+Codegen quality (parity with loader.rs:220-249, 827-899):
+* scalar ops are DEFERRED as expression trees (depth-bounded) with
+  value-numbering CSE — a scalar used once inlines into its consumer, a
+  scalar used twice+ is materialized into one memory slot;
+* batch inversion uses the loader-generic Montgomery trick (one modexp +
+  3(n-1) mulmods, loader/__init__.py batch_invert).
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ from snark_verifier_tpu.loader import EcPoint, Loader, Scalar
 from snark_verifier_tpu.util import bn254
 
 MEM_START = 0x80
+MAX_EXPR_DEPTH = 8  # ops per rendered Yul expression before spilling to memory
 
 
 class EvmLoader(Loader):
@@ -36,6 +37,7 @@ class EvmLoader(Loader):
         self.ir = []  # executed + rendered
         self.num_instance = 0
         self.proof_cd_offset = 0  # calldata offset where the proof begins
+        self._vn = {}  # value numbering: canonical expr key -> Scalar
 
     # -- memory / code helpers ----------------------------------------------
     def allocate(self, size: int) -> int:
@@ -55,15 +57,39 @@ class EvmLoader(Loader):
         kind = s.value[0]
         if kind == "mem":
             return s.value[1]
+        if kind == "expr":
+            tree, box = s.value[1], s.value[2]
+            if box["ptr"] is None:
+                box["ptr"] = self.allocate(0x20)
+                self.emit(("mstore", box["ptr"], tree))
+            s.value = ("mem", box["ptr"])
+            return box["ptr"]
         ptr = self.allocate(0x20)
         self.emit(("mstore", ptr, s.value))
         s.value = ("mem", ptr)
         return ptr
 
+    def _expr_d(self, s: Scalar):
+        """(expr tree, depth) of a scalar for inlining into a consumer.
+
+        Deferral policy (role of the reference's lazy Sum/Product values,
+        loader/evm/loader.rs:220-249): the first consumer inlines the tree;
+        a second consumer materializes it into a slot so every later use is
+        one mload."""
+        v = s.value
+        if v[0] == "mem":
+            return ("mload", v[1]), 0
+        if v[0] == "const":
+            return v, 0
+        tree, box = v[1], v[2]
+        box["uses"] += 1
+        if box["uses"] >= 2:
+            ptr = self._materialize(s)
+            return ("mload", ptr), 0
+        return tree, box["depth"]
+
     def _expr(self, s: Scalar):
-        if s.value[0] == "mem":
-            return ("mload", s.value[1])
-        return s.value  # ("const", v)
+        return self._expr_d(s)[0]
 
     def _binop(self, op, a: Scalar, b: Scalar, modulus: str) -> Scalar:
         if a.value[0] == "const" and b.value[0] == "const":
@@ -71,9 +97,23 @@ class EvmLoader(Loader):
             m = bn254.R if modulus == "r" else bn254.P
             v = {"addmod": x + y, "mulmod": x * y}[op] % m
             return Scalar(self, ("const", v))
-        ptr = self.allocate(0x20)
-        self.emit(("mstore", ptr, (op, self._expr(a), self._expr(b), modulus)))
-        return Scalar(self, ("mem", ptr))
+        ea, da = self._expr_d(a)
+        eb, db = self._expr_d(b)
+        # canonical key for the commutative ops -> CSE across operand order
+        key = (op, modulus) + tuple(sorted((repr(ea), repr(eb))))
+        hit = self._vn.get(key)
+        if hit is not None:
+            return hit
+        tree = (op, ea, eb, modulus)
+        depth = 1 + max(da, db)
+        if depth >= MAX_EXPR_DEPTH:
+            ptr = self.allocate(0x20)
+            self.emit(("mstore", ptr, tree))
+            s = Scalar(self, ("mem", ptr))
+        else:
+            s = Scalar(self, ("expr", tree, {"uses": 0, "ptr": None, "depth": depth}))
+        self._vn[key] = s
+        return s
 
     def add(self, a, b):
         return self._binop("addmod", a, b, "r")
@@ -84,12 +124,8 @@ class EvmLoader(Loader):
     def neg(self, a):
         if a.value[0] == "const":
             return Scalar(self, ("const", (-a.value[1]) % bn254.R))
-        ptr = self.allocate(0x20)
         # -x = x * (r - 1) mod r (canonical output)
-        self.emit(
-            ("mstore", ptr, ("mulmod", self._expr(a), ("const", bn254.R - 1), "r"))
-        )
-        return Scalar(self, ("mem", ptr))
+        return self._binop("mulmod", a, Scalar(self, ("const", bn254.R - 1)), "r")
 
     def sub(self, a, b):
         return self.add(a, self.neg(b))

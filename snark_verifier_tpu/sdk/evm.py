@@ -54,11 +54,29 @@ def encode_calldata(instances, proof: bytes) -> bytes:
     return bytes(out)
 
 
-def evm_verify(verifier: EvmVerifier, instances, proof: bytes) -> bool:
-    """Run the generated verifier on calldata (evm.rs:180-185 semantics);
-    returns True on accept, raises EvmRevert on reject."""
+def evm_verify(verifier: EvmVerifier, instances, proof: bytes) -> int:
+    """Run the generated verifier on calldata (evm.rs:180-192 semantics):
+    returns gas used on accept, raises EvmRevert on reject.
+
+    Executes BOTH the rendered Yul text (the artifact users deploy — role
+    of solc+revm, loader/evm/util.rs:105-130) and the loader IR, asserting
+    they agree, so text and IR cannot silently diverge."""
+    from snark_verifier_tpu.loader.evm_yul import YulVerifier
+
     calldata = encode_calldata(instances, proof)
-    return EvmExecutor(verifier.ir, calldata).run()
+    try:
+        ir_ok = bool(EvmExecutor(verifier.ir, calldata).run())
+    except EvmRevert:
+        ir_ok = False
+    try:
+        gas = YulVerifier(verifier.solidity).run(calldata)
+    except EvmRevert:
+        if ir_ok:
+            raise AssertionError("IR accepts but rendered Yul reverts")
+        raise
+    if not ir_ok:
+        raise AssertionError("rendered Yul accepts but IR executor reverts")
+    return gas
 
 
 __all__ = ["EvmVerifier", "gen_evm_verifier", "encode_calldata", "evm_verify", "EvmRevert"]

@@ -21,11 +21,15 @@ def setup():
 
 @pytest.mark.parametrize("scheme", ["gwc", "shplonk"])
 def test_generated_verifier_accepts(setup, scheme):
+    """evm_verify runs BOTH the rendered Yul text and the IR (differential)
+    and returns measured gas on accept."""
     srs, protocol, pk = setup
     As = KzgGwc if scheme == "gwc" else KzgShplonk
     verifier = gen_evm_verifier(protocol, As, srs.decider_key())
     proof = gen_proof(pk, [[4242]], scheme)
-    assert evm_verify(verifier, [[4242]], proof) is True
+    gas = evm_verify(verifier, [[4242]], proof)
+    # sanity bracket: a handful of ecMuls + one pairing but far below 10M
+    assert 150_000 < gas < 2_000_000, gas
 
 
 def test_generated_verifier_rejects_mutation(setup):
