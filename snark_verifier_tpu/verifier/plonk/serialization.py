@@ -135,6 +135,15 @@ def _expr_from_json(obj):
     raise ValueError(f"unknown expression tag {tag}")
 
 
+# serde unit-variant names (protocol.rs:531-540) <-> internal tags
+_LINEARIZATION_FROM_SERDE = {
+    "WithoutConstant": "without-constant",
+    "MinusVanishingTimesQuotient": "minus-vanishing",
+    None: None,
+}
+_LINEARIZATION_TO_SERDE = {v: k for k, v in _LINEARIZATION_FROM_SERDE.items()}
+
+
 def protocol_to_json(p: PlonkProtocol) -> dict:
     return {
         "domain": {
@@ -172,7 +181,7 @@ def protocol_to_json(p: PlonkProtocol) -> dict:
             if p.instance_committing_key is not None
             else None
         ),
-        "linearization": p.linearization,
+        "linearization": _LINEARIZATION_TO_SERDE.get(p.linearization, p.linearization),
         "accumulator_indices": [
             [[i, j] for (i, j) in acc] for acc in p.accumulator_indices
         ],
@@ -221,7 +230,9 @@ def protocol_from_json(obj) -> PlonkProtocol:
             if ick is not None
             else None
         ),
-        linearization=obj.get("linearization"),
+        linearization=_LINEARIZATION_FROM_SERDE.get(
+            obj.get("linearization"), obj.get("linearization")
+        ),
         accumulator_indices=[
             [tuple(pair) for pair in acc] for acc in obj.get("accumulator_indices", [])
         ],

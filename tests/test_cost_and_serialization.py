@@ -72,3 +72,54 @@ def test_imported_protocol_verifies():
     transcript = NativeEvmTranscript(proof, loader)
     p = verifier.read_proof(dk, loaded, ins, transcript)
     assert verifier.verify(dk, loaded, ins, p) is True
+
+
+def test_golden_reference_serde_layout():
+    """Parse the hand-derived golden fixture written in EXACTLY the layout
+    serde emits for the reference's PlonkProtocol (protocol.rs:19-71 with
+    derive_serde: externally-tagged enums, newtype Rotation as bare int,
+    32-byte LE field arrays, {"x","y"} points) — pinning the import side of
+    the compatibility hinge to the reference's wire format."""
+    import json
+    import os
+
+    from snark_verifier_tpu.util import bn254
+    from snark_verifier_tpu.verifier.plonk.protocol import (
+        CommonIdentity,
+        CommonLagrange,
+        DistributePowers,
+        Negated,
+        Product,
+        Scaled,
+        Sum,
+    )
+    from snark_verifier_tpu.verifier.plonk.serialization import (
+        protocol_from_json,
+        protocol_to_json,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "protocol_k2.json")
+    with open(path) as f:
+        doc = json.load(f)
+    p = protocol_from_json(doc)
+
+    assert (p.domain.k, p.domain.n) == (2, 4)
+    assert p.domain.gen == pow(bn254.FR_ROOT_OF_UNITY, 1 << 26, bn254.R)
+    assert p.domain.n_inv == pow(4, -1, bn254.R)
+    assert p.preprocessed[0] == bn254.g1_mul(bn254.G1_GEN, 5)
+    assert [q.rotation.value for q in p.evaluations] == [0, -1]
+    num = p.quotient.numerator
+    assert isinstance(num, DistributePowers) and num.base.index == 2
+    gate = num.exprs[0]
+    assert isinstance(gate, Sum) and isinstance(gate.lhs, Product)
+    assert isinstance(gate.rhs, Negated) and isinstance(gate.rhs.inner, Scaled)
+    assert isinstance(gate.rhs.inner.inner, CommonLagrange)
+    assert isinstance(num.exprs[1].lhs, CommonIdentity)
+    assert num.exprs[1].rhs.value == 42
+    assert p.transcript_initial_state == 123456789
+    assert p.instance_committing_key.bases == [bn254.G1_GEN]
+    assert p.instance_committing_key.constant is None
+    assert p.accumulator_indices == [[(0, i) for i in range(16)]]
+
+    # round trip: our serializer reproduces the reference layout byte-for-byte
+    assert protocol_to_json(p) == doc
