@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+from snark_verifier_tpu.util import bn254 as _bn254
+
 
 class Scalar:
     """A loaded Fr element; arithmetic delegates to the loader."""
@@ -89,7 +91,13 @@ class EcPoint:
 class Loader:
     """Backend interface.  Rich helpers have default implementations in terms
     of the primitive ops, mirroring the reference's default-methods design
-    (loader.rs:116-263) that keeps backend surface small."""
+    (loader.rs:116-263) that keeps backend surface small.
+
+    `curve` is the host-side curve oracle (the `util.bn254` module by
+    default, or a `util.curves.WeierstrassCurve` — e.g. pasta for the IPA
+    stack's reference-parity instantiation)."""
+
+    curve = _bn254  # class default; NativeLoader may override per instance
 
     # -- primitives ---------------------------------------------------------
     def load_const(self, value: int) -> Scalar:

@@ -16,23 +16,28 @@ from snark_verifier_tpu.util import bn254
 
 
 class NativeLoader(Loader):
+    def __init__(self, curve=bn254):
+        """`curve`: host curve oracle (util.bn254 module or a
+        util.curves.WeierstrassCurve, e.g. pasta for the IPA stack)."""
+        self.curve = curve
+
     def load_const(self, value: int) -> Scalar:
-        return Scalar(self, value % bn254.R)
+        return Scalar(self, value % self.curve.R)
 
     def add(self, a, b):
-        return Scalar(self, (a.value + b.value) % bn254.R)
+        return Scalar(self, (a.value + b.value) % self.curve.R)
 
     def sub(self, a, b):
-        return Scalar(self, (a.value - b.value) % bn254.R)
+        return Scalar(self, (a.value - b.value) % self.curve.R)
 
     def mul(self, a, b):
-        return Scalar(self, a.value * b.value % bn254.R)
+        return Scalar(self, a.value * b.value % self.curve.R)
 
     def invert(self, a):
-        return Scalar(self, bn254.inv_mod(a.value, bn254.R) if a.value else 0)
+        return Scalar(self, self.curve.inv_mod(a.value, self.curve.R) if a.value else 0)
 
     def batch_invert(self, scalars):
-        values = bn254.batch_inv_mod([s.value for s in scalars], bn254.R)
+        values = self.curve.batch_inv_mod([s.value for s in scalars], self.curve.R)
         return [Scalar(self, v) for v in values]
 
     def ec_point_load_const(self, point) -> EcPoint:
@@ -47,9 +52,10 @@ class NativeLoader(Loader):
             raise AssertionFailure(annotation)
 
     def multi_scalar_multiplication(self, pairs, constant: Optional[tuple] = None) -> EcPoint:
+        crv = self.curve
         acc = constant if constant is not None else None
         for scalar, point in pairs:
-            acc = bn254.g1_add(acc, bn254.g1_mul(point.value, scalar.value))
+            acc = crv.g1_add(acc, crv.g1_mul(point.value, scalar.value))
         return EcPoint(self, acc)
 
 

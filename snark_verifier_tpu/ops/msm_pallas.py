@@ -47,6 +47,9 @@ WINDOW = 4
 NWINDOWS = (NLIMB * LIMB_BITS) // WINDOW  # 64 signed 4-bit windows
 NTAB = (1 << (WINDOW - 1)) + 1  # |digit| in 0..8 -> 9 table entries
 ROWS = 3 * NLIMB  # one point = 48 sublanes (x | y | z)
+SCAN_LANES = 1024  # lane width of the whole-MSM scan kernel (wider than the
+                   # generic FP.LANES tier: fewer grid steps -> ~8% faster;
+                   # 2048 exceeds VMEM with the 9-entry table block)
 
 
 def signed_digits(scalars_canon):
@@ -189,30 +192,32 @@ def _scan_kernel_body(table_ref, dig_ref, mod_ref, npr_ref, out_ref):
         out_ref[2 * NLIMB :, :] = z
 
 
-def _scan_call(n, nw, b_blocks, table_slab, dig_flat, b_pad):
+def _scan_call(n, nw, table_slab, dig_flat, b_pad):
     """dig_flat: (nw * n, 1, b_pad) int32, window-major MSB-first."""
     from snark_verifier_tpu.ops import field as F
 
     tc = tconsts(F.FQ)
+    lanes = min(SCAN_LANES, b_pad)
+    b_blocks = b_pad // lanes
     return pl.pallas_call(
         _scan_kernel_body,
         out_shape=jax.ShapeDtypeStruct((ROWS, b_pad), jnp.uint32),
         grid=(b_blocks, nw, n),
         in_specs=[
             pl.BlockSpec(
-                (NTAB * ROWS, FP.LANES),
+                (NTAB * ROWS, lanes),
                 lambda b, w, i: (0, i * b_blocks + b),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, FP.LANES),
+                (1, 1, lanes),
                 lambda b, w, i: (w * n + i, 0, b),
                 memory_space=pltpu.VMEM,
             ),
         ]
         + TConsts.in_specs(),
         out_specs=pl.BlockSpec(
-            (ROWS, FP.LANES), lambda b, w, i: (0, b), memory_space=pltpu.VMEM
+            (ROWS, lanes), lambda b, w, i: (0, b), memory_space=pltpu.VMEM
         ),
     )(table_slab, dig_flat, *tc.as_inputs())
 
@@ -333,13 +338,19 @@ def msm_batched_fused(points, scalars_canon, nwindows: int = NWINDOWS):
 
     `nwindows` < 64 is a test hook (correct only when every scalar is below
     2^(4*nwindows - 1)); production callers use the default."""
+    import os
+
     from snark_verifier_tpu.ops import field as F
     from snark_verifier_tpu.ops.curve import G1
 
     batch_shape = points.batch_shape[:-1]
     n = points.batch_shape[-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
-    b_pad = ((B + FP.LANES - 1) // FP.LANES) * FP.LANES
+    use_mega = not FP.interpret() and os.environ.get("SVTPU_MSM_MEGA", "1") == "1"
+    # the mega-kernel runs SCAN_LANES-wide blocks; pad B so both the scan
+    # lane width and the generic FP.LANES tier (table-build kernels) divide it
+    unit = max(SCAN_LANES, FP.LANES) if use_mega else FP.LANES
+    b_pad = ((B + unit - 1) // unit) * unit
     b_blocks = b_pad // FP.LANES
     l_tab = n * b_pad
 
@@ -402,13 +413,11 @@ def msm_batched_fused(points, scalars_canon, nwindows: int = NWINDOWS):
     dig_t = jnp.transpose(digits, (2, 1, 0))[::-1, :, None, :]
 
     # ---- window scan: acc = 16*acc + sum_i T[digit_i] ----------------------
-    import os
-
     nw = dig_t.shape[0]
-    if not FP.interpret() and os.environ.get("SVTPU_MSM_MEGA", "1") == "1":
+    if use_mega:
         # single whole-MSM kernel, accumulator VMEM-resident throughout
         acc = _scan_call(
-            n, nw, b_blocks, table_slab, dig_t.reshape(nw * n, 1, b_pad), b_pad
+            n, nw, table_slab, dig_t.reshape(nw * n, 1, b_pad), b_pad
         )
     else:
         acc0 = jnp.concatenate(

@@ -2,9 +2,10 @@
 
 Algorithmic parity with pcs/ipa.rs / pcs/ipa/{accumulation,decider}.rs —
 the second PCS family, proving the loader abstraction holds beyond KZG.
-The scheme is curve-generic; this build instantiates it over BN254 G1 (the
-reference uses pasta/pallas — swapping curves is a FieldSpec/G1 constant
-change, not a scheme change; noted as a coverage gap in docs).
+The scheme is curve-generic: keys carry a host curve oracle (`curve`
+field, util.bn254 by default) and the stack is exercised over BOTH BN254
+and pasta/pallas (the reference's instantiation,
+system/halo2/test/ipa/native.rs) — see tests/test_ipa.py / test_bgh19.py.
 
 The prover (`Ipa.create_proof`, the only real prover hot loop in the
 reference, pcs/ipa.rs:40-123) runs host-side; `succinct_verify` is
@@ -35,33 +36,36 @@ class IpaProvingKey:
     g: list  # [(x, y)]
     h: tuple
     s: Optional[tuple] = None
+    curve: object = bn254  # host curve oracle (bn254 module or pasta)
 
     def zk(self) -> bool:
         return self.s is not None
 
     def svk(self) -> "IpaSuccinctVerifyingKey":
-        return IpaSuccinctVerifyingKey(self.domain, self.g[0], self.h, self.s)
+        return IpaSuccinctVerifyingKey(self.domain, self.g[0], self.h, self.s, self.curve)
 
     def dk(self) -> "IpaDecidingKey":
         return IpaDecidingKey(self.svk(), list(self.g))
 
     def commit(self, coeffs, omega: Optional[int] = None):
-        c = bn254.fast_msm(coeffs, self.g[: len(coeffs)])
+        crv = self.curve
+        c = crv.fast_msm(coeffs, self.g[: len(coeffs)])
         if self.s is not None:
             assert omega is not None
-            c = bn254.g1_add(c, bn254.g1_mul(self.s, omega))
+            c = crv.g1_add(c, crv.g1_mul(self.s, omega))
         else:
             assert omega is None
         return c
 
     @staticmethod
-    def rand(k: int, zk: bool, seed: int = 0) -> "IpaProvingKey":
+    def rand(k: int, zk: bool, seed: int = 0, curve=bn254) -> "IpaProvingKey":
         rng = random.Random(seed)
         n = 1 << k
-        g = [bn254.g1_mul(bn254.G1_GEN, rng.randrange(1, R)) for _ in range(n)]
-        h = bn254.g1_mul(bn254.G1_GEN, rng.randrange(1, R))
-        s = bn254.g1_mul(bn254.G1_GEN, rng.randrange(1, R)) if zk else None
-        return IpaProvingKey(Domain.new(k), g, h, s)
+        r = curve.R
+        g = [curve.g1_mul(curve.G1_GEN, rng.randrange(1, r)) for _ in range(n)]
+        h = curve.g1_mul(curve.G1_GEN, rng.randrange(1, r))
+        s = curve.g1_mul(curve.G1_GEN, rng.randrange(1, r)) if zk else None
+        return IpaProvingKey(Domain.new(k, curve=curve), g, h, s, curve)
 
 
 @dataclass
@@ -70,6 +74,7 @@ class IpaSuccinctVerifyingKey:
     g: tuple
     h: tuple
     s: Optional[tuple] = None
+    curve: object = bn254
 
     def zk(self) -> bool:
         return self.s is not None
@@ -145,15 +150,15 @@ def h_eval(xi, z):
     return loader.product(factors)
 
 
-def h_coeffs(xi_values, scalar: int) -> list:
+def h_coeffs(xi_values, scalar: int, r: int = R) -> list:
     """Expand prod (1 + xi_{k-1-i} X^(2^i)) (pcs/ipa.rs:401-417); ints."""
     assert xi_values
     coeffs = [0] * (1 << len(xi_values))
-    coeffs[0] = scalar % R
+    coeffs[0] = scalar % r
     length = 1
     for x in reversed(xi_values):
         for i in range(length):
-            coeffs[length + i] = coeffs[i] * x % R
+            coeffs[length + i] = coeffs[i] * x % r
         length *= 2
     return coeffs
 
@@ -164,62 +169,106 @@ class Ipa:
         """Prover (pcs/ipa.rs:40-123); p = coefficient list, host ints."""
         rng = rng or random.Random(1)
         loader = transcript.loader()
-        p_prime = [v % R for v in p] + [0] * (pk.domain.n - len(p))
+        crv = pk.curve
+        r = crv.R
+        p_prime = [v % r for v in p] + [0] * (pk.domain.n - len(p))
 
         if pk.zk():
-            p_bar = [rng.randrange(R) for _ in range(pk.domain.n)]
-            p_bar_at_z = _eval(p_bar, z)
-            p_bar[0] = (p_bar[0] - p_bar_at_z) % R
-            omega_bar = rng.randrange(R)
+            p_bar = [rng.randrange(r) for _ in range(pk.domain.n)]
+            p_bar_at_z = _eval(p_bar, z, r)
+            p_bar[0] = (p_bar[0] - p_bar_at_z) % r
+            omega_bar = rng.randrange(r)
             c_bar = pk.commit(p_bar, omega_bar)
             transcript.write_ec_point(EcPoint(loader, c_bar))
             alpha = transcript.squeeze_challenge().value
-            omega_prime = (omega + alpha * omega_bar) % R
+            omega_prime = (omega + alpha * omega_bar) % r
             transcript.write_scalar(loader.load_const(omega_prime))
-            p_prime = [(a + alpha * b) % R for a, b in zip(p_prime, p_bar)]
+            p_prime = [(a + alpha * b) % r for a, b in zip(p_prime, p_bar)]
 
         xi_0 = transcript.squeeze_challenge().value
-        h_prime = bn254.g1_mul(pk.h, xi_0)
+        u, c, xi = Ipa._rounds(pk, p_prime, z, xi_0, transcript)
+        transcript.write_ec_point(EcPoint(loader, u))
+        transcript.write_scalar(loader.load_const(c))
+        native = NativeLoader(crv)
+        return IpaAccumulator(
+            [native.load_const(x) for x in xi], EcPoint(native, u)
+        )
+
+    @staticmethod
+    def _rounds(pk, p_prime, z, xi_0, transcript):
+        """The k fold rounds shared by both wire layouts; returns
+        (G_final, c_final, [xi])."""
+        crv = pk.curve
+        r = crv.R
+        loader = transcript.loader()
+        h_prime = crv.g1_mul(pk.h, xi_0)
         bases = list(pk.g)
         coeffs = list(p_prime)
         zs = []
         acc = 1
         for _ in range(len(coeffs)):
             zs.append(acc)
-            acc = acc * z % R
+            acc = acc * z % r
 
         k = pk.domain.k
         xi = []
         for i in range(k):
             half = 1 << (k - i - 1)
-            l_i = bn254.g1_add(
-                bn254.fast_msm(coeffs[half:], bases[:half]),
-                bn254.g1_mul(h_prime, _inner(coeffs[half:], zs[:half])),
+            l_i = crv.g1_add(
+                crv.fast_msm(coeffs[half:], bases[:half]),
+                crv.g1_mul(h_prime, _inner(coeffs[half:], zs[:half], r)),
             )
-            r_i = bn254.g1_add(
-                bn254.fast_msm(coeffs[:half], bases[half:]),
-                bn254.g1_mul(h_prime, _inner(coeffs[:half], zs[half:])),
+            r_i = crv.g1_add(
+                crv.fast_msm(coeffs[:half], bases[half:]),
+                crv.g1_mul(h_prime, _inner(coeffs[:half], zs[half:], r)),
             )
             transcript.write_ec_point(EcPoint(loader, l_i))
             transcript.write_ec_point(EcPoint(loader, r_i))
             xi_i = transcript.squeeze_challenge().value
-            xi_i_inv = bn254.inv_mod(xi_i, R)
+            xi_i_inv = crv.inv_mod(xi_i, r)
 
             bases = [
-                bn254.g1_add(bl, bn254.g1_mul(br, xi_i))
+                crv.g1_add(bl, crv.g1_mul(br, xi_i))
                 for bl, br in zip(bases[:half], bases[half:])
             ]
             coeffs = [
-                (cl + xi_i_inv * cr) % R for cl, cr in zip(coeffs[:half], coeffs[half:])
+                (cl + xi_i_inv * cr) % r for cl, cr in zip(coeffs[:half], coeffs[half:])
             ]
-            zs = [(zl + xi_i * zr) % R for zl, zr in zip(zs[:half], zs[half:])]
+            zs = [(zl + xi_i * zr) % r for zl, zr in zip(zs[:half], zs[half:])]
             xi.append(xi_i)
+        return bases[0], coeffs[0], xi
 
-        transcript.write_ec_point(EcPoint(loader, bases[0]))
-        transcript.write_scalar(loader.load_const(coeffs[0]))
-        native = NativeLoader()
+    @staticmethod
+    def create_proof_halo2(pk, p, z: int, transcript, rng=None):
+        """Prover for halo2_proofs' IPA wire layout — the one
+        Bgh19.read_proof consumes (bgh19.rs:121-158): S, xi, z-challenge,
+        rounds, c, blind, G.  Requires a zk key (svk.s is the blinding base
+        W); input polynomial commitments are expected unblinded (blind 0),
+        so the final blind is xi * omega_bar only."""
+        assert pk.zk(), "halo2 IPA layout requires a zk key (blinding base)"
+        rng = rng or random.Random(1)
+        loader = transcript.loader()
+        crv = pk.curve
+        r = crv.R
+        p_prime = [v % r for v in p] + [0] * (pk.domain.n - len(p))
+
+        # random s_poly with s(z) = 0, so folding preserves the claimed eval
+        s_poly = [rng.randrange(r) for _ in range(pk.domain.n)]
+        s_poly[0] = (s_poly[0] - _eval(s_poly, z, r)) % r
+        omega_bar = rng.randrange(r)
+        transcript.write_ec_point(EcPoint(loader, pk.commit(s_poly, omega_bar)))
+        alpha = transcript.squeeze_challenge().value  # halo2's xi
+        omega_prime = alpha * omega_bar % r
+        p_prime = [(a + alpha * b) % r for a, b in zip(p_prime, s_poly)]
+
+        xi_0 = transcript.squeeze_challenge().value  # halo2's z challenge
+        u, c, xi = Ipa._rounds(pk, p_prime, z, xi_0, transcript)
+        transcript.write_scalar(loader.load_const(c))
+        transcript.write_scalar(loader.load_const(omega_prime))
+        transcript.write_ec_point(EcPoint(loader, u))
+        native = NativeLoader(crv)
         return IpaAccumulator(
-            [native.load_const(x) for x in xi], EcPoint(native, bases[0])
+            [native.load_const(x) for x in xi], EcPoint(native, u)
         )
 
     @staticmethod
@@ -253,15 +302,15 @@ class Ipa:
         return IpaAccumulator(proof.xi(), proof.u)
 
 
-def _eval(coeffs, x):
+def _eval(coeffs, x, r: int = R):
     acc = 0
     for c in reversed(coeffs):
-        acc = (acc * x + c) % R
+        acc = (acc * x + c) % r
     return acc
 
 
-def _inner(a, b):
-    return sum(x * y for x, y in zip(a, b)) % R
+def _inner(a, b, r: int = R):
+    return sum(x * y for x, y in zip(a, b)) % r
 
 
 # ---------------------------------------------------------------------------
@@ -323,16 +372,18 @@ class IpaAs:
         assert len(instances) > 1
         rng = rng or random.Random(2)
         loader = transcript.loader()
+        crv = pk.curve
+        r = crv.R
         a_b_u = None
         omega = None
         if pk.zk():
-            a, b = rng.randrange(R), rng.randrange(R)
-            u = bn254.g1_add(bn254.g1_mul(pk.g[1], a), bn254.g1_mul(pk.g[0], b))
+            a, b = rng.randrange(r), rng.randrange(r)
+            u = crv.g1_add(crv.g1_mul(pk.g[1], a), crv.g1_mul(pk.g[0], b))
             transcript.write_scalar(loader.load_const(a))
             transcript.write_scalar(loader.load_const(b))
             transcript.write_ec_point(EcPoint(loader, u))
             a_b_u = (a, b, u)
-            omega = rng.randrange(R)
+            omega = rng.randrange(r)
             transcript.write_scalar(loader.load_const(omega))
         for acc in instances:
             for xi in acc.xi:
@@ -341,7 +392,7 @@ class IpaAs:
         alpha = transcript.squeeze_challenge().value
         z = transcript.squeeze_challenge().value
 
-        hs = [h_coeffs([x.value for x in acc.xi], 1) for acc in instances]
+        hs = [h_coeffs([x.value for x in acc.xi], 1, r) for acc in instances]
         if a_b_u is not None:
             a, b, u = a_b_u
             hs.append([b, a] + [0] * (pk.domain.n - 2))
@@ -349,8 +400,8 @@ class IpaAs:
         pa = 1
         for hc in hs:
             for i, v in enumerate(hc):
-                h[i] = (h[i] + pa * v) % R
-            pa = pa * alpha % R
+                h[i] = (h[i] + pa * v) % r
+            pa = pa * alpha % r
         return Ipa.create_proof(pk, h, z, omega, transcript, rng)
 
     # -- decider (pcs/ipa/decider.rs) ----------------------------------------
@@ -359,8 +410,9 @@ class IpaAs:
         loader = accumulator.u.loader
         if hasattr(loader, "decide_ipa"):
             return loader.decide_ipa(accumulator, dk)
-        h = h_coeffs([x.value for x in accumulator.xi], 1)
-        expect = bn254.fast_msm(h, dk.g)
+        crv = dk.svk.curve
+        h = h_coeffs([x.value for x in accumulator.xi], 1, crv.R)
+        expect = crv.fast_msm(h, dk.g)
         if accumulator.u.value != expect:
             raise AssertionFailure("U == commit(G, h)")
         return True

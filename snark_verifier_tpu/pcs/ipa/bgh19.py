@@ -1,13 +1,17 @@
-"""BGH19 multi-open verifier for IPA (halo2's IPA multiopen).
+"""BGH19 multi-open for IPA (halo2's IPA multiopen): verifier + prover.
 
 Algorithmic parity with pcs/ipa/multiopen/bgh19.rs: polynomials group by
 shift-set (same grouping as BDFG21), per-set claims fold with powers of x1,
 sets fold with powers of x2/x4 around the f commitment, and the final check
 is one IPA `succinct_verify` of the combined claim at x3 with evaluation 0.
 
-NOTE (round-1 status): verifier-side only — exercising it end-to-end needs
-a halo2-IPA multiopen prover, which is not implemented yet; the structure
-is covered by unit tests and mirrors the e2e-tested BDFG21 port.
+`Bgh19.create_proof` plays the role of halo2's IPA multiopen prover
+(halo2_proofs poly/ipa/multiopen — not part of the reference crate, which
+consumes halo2's): per set, q_i folds the polys with x1, f sums
+(q_i - r_i) / prod(X - z_j) folded with x2, and the x4-folded final claim
+opens through `Ipa.create_proof` at x3 with value 0.  Exercised end-to-end
+over BOTH BN254 and pallas (the reference's curve,
+system/halo2/test/ipa/native.rs) in tests/test_bgh19.py.
 """
 
 from __future__ import annotations
@@ -96,6 +100,108 @@ class Bgh19(PolynomialCommitmentScheme):
             msm = msm + Msm.base(g) * constant
 
         return Ipa.succinct_verify(svk, msm, proof.x_3, loader.load_zero(), proof.ipa)
+
+    # -- prover --------------------------------------------------------------
+    @classmethod
+    def create_proof(cls, pk, polys, query_specs, x: int, transcript, rng=None):
+        """polys: list of coefficient lists (host ints); query_specs:
+        [(poly_idx, shift_int)]; x: base opening point.  The caller must
+        have absorbed commitments/evals into the transcript exactly as the
+        verifier does, so the squeezed challenges agree.  zk=False opening
+        (pk.s unused)."""
+        from snark_verifier_tpu.loader import EcPoint
+        from snark_verifier_tpu.pcs import Query
+
+        crv = pk.curve
+        r = crv.R
+        n = pk.domain.n
+        loader = transcript.loader()
+
+        sets = _query_sets([Query(p, sh) for p, sh in query_specs])
+
+        x_1 = transcript.squeeze_challenge().value
+        x_2 = transcript.squeeze_challenge().value
+
+        def peval(c, z):
+            acc = 0
+            for v in reversed(c):
+                acc = (acc * z + v) % r
+            return acc
+
+        # q_i = sum_j x1^(len-1-j) * poly_{set.polys[j]}  (verifier msm order)
+        q_polys = []
+        for s in sets:
+            q = [0] * n
+            for p_idx in s.polys:
+                poly = polys[p_idx]
+                q = [(qc * x_1 + (poly[i] if i < len(poly) else 0)) % r
+                     for i, qc in enumerate(q)]
+            q_polys.append(q)
+
+        # f = sum_i x2^(S-1-i) * (q_i - r_i) / prod_j (X - shift_j * x)
+        f_poly = [0] * n
+        for s, q in zip(sets, q_polys):
+            pts = [sh * x % r for sh in s.shifts]
+            evs = [peval(q, z) for z in pts]
+            r_poly = _interp(pts, evs, r)
+            num = [(qc - (r_poly[i] if i < len(r_poly) else 0)) % r
+                   for i, qc in enumerate(q)]
+            for z in pts:
+                num = _div_linear(num, z, r)
+            f_poly = [(fc * x_2 + (num[i] if i < len(num) else 0)) % r
+                      for i, fc in enumerate(f_poly)]
+
+        transcript.write_ec_point(
+            EcPoint(loader, pk.commit(f_poly, 0 if pk.zk() else None))
+        )
+        x_3 = transcript.squeeze_challenge().value
+        q_evals = [peval(q, x_3) for q in q_polys]
+        for v in q_evals:
+            transcript.write_scalar(loader.load_const(v))
+        x_4 = transcript.squeeze_challenge().value
+
+        # final = x4^S * (f - f(x3)) + sum_i x4^(S-1-i) * (q_i - q_i(x3))
+        final = list(f_poly)
+        final[0] = (final[0] - peval(f_poly, x_3)) % r
+        for q, qe in zip(q_polys, q_evals):
+            term = list(q)
+            term[0] = (term[0] - qe) % r
+            final = [(fc * x_4 + tc) % r for fc, tc in zip(final, term)]
+        # halo2 wire layout tail (S, xi, z, rounds, c, blind, G) — the one
+        # read_proof consumes
+        return Ipa.create_proof_halo2(pk, final, x_3, transcript, rng)
+
+
+def _interp(pts, vals, r):
+    """Lagrange interpolation, coefficient form mod r."""
+    out = [0] * len(pts)
+    for j, (zj, vj) in enumerate(zip(pts, vals)):
+        basis = [1]
+        denom = 1
+        for i, zi in enumerate(pts):
+            if i == j:
+                continue
+            basis = [
+                ((basis[k - 1] if k else 0) - zi * (basis[k] if k < len(basis) else 0))
+                % r
+                for k in range(len(basis) + 1)
+            ]
+            denom = denom * (zj - zi) % r
+        scale = vj * pow(denom, -1, r) % r
+        for k, b in enumerate(basis):
+            out[k] = (out[k] + scale * b) % r
+    return out
+
+
+def _div_linear(coeffs, z, r):
+    """Exact division by (X - z), highest-degree first synthetic division."""
+    out = [0] * (len(coeffs) - 1)
+    carry = 0
+    for i in range(len(coeffs) - 1, 0, -1):
+        carry = (coeffs[i] + carry * z) % r
+        out[i - 1] = carry
+    assert (coeffs[0] + carry * z) % r == 0, "non-exact division"
+    return out
 
 
 @dataclass
@@ -190,12 +296,13 @@ def _query_set_coeffs(sets, x, x_3):
 
 
 def _new_coeff(loader, shifts, powers_of_x, x_3, x_3_minus_x_shift_i):
+    r = loader.curve.R
     normalized_ell_primes = []
     for j, shift_j in enumerate(shifts):
         acc = 1
         for i, shift_i in enumerate(shifts):
             if i != j:
-                acc = acc * (shift_j - shift_i) % bn254.R
+                acc = acc * (shift_j - shift_i) % r
         normalized_ell_primes.append(acc)
 
     xv = powers_of_x[1]
@@ -205,7 +312,7 @@ def _new_coeff(loader, shifts, powers_of_x, x_3, x_3_minus_x_shift_i):
             loader.sum_products_with_coeff(
                 [
                     (ell, x_pow_k_minus_one, x_3),
-                    ((-(ell * shift)) % bn254.R, x_pow_k_minus_one, xv),
+                    ((-(ell * shift)) % r, x_pow_k_minus_one, xv),
                 ]
             )
         )

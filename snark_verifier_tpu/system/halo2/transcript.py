@@ -121,7 +121,8 @@ class NativeBlake2bTranscript(TranscriptRead, TranscriptWrite):
     def squeeze_challenge(self) -> Scalar:
         self.state.update(self._PREFIX_CHALLENGE)
         digest = self.state.copy().digest()
-        return self._loader.load_const(int.from_bytes(digest, "little") % bn254.R)
+        crv = self._loader.curve
+        return self._loader.load_const(int.from_bytes(digest, "little") % crv.R)
 
     def common_scalar(self, scalar: Scalar):
         self.state.update(self._PREFIX_SCALAR)
@@ -140,7 +141,7 @@ class NativeBlake2bTranscript(TranscriptRead, TranscriptWrite):
         if len(data) != 32:
             raise TranscriptError("unexpected end of proof stream")
         value = int.from_bytes(data, "little")
-        if value >= bn254.R:
+        if value >= self._loader.curve.R:
             raise TranscriptError("invalid scalar encoding in proof")
         scalar = self._loader.load_const(value)
         self.common_scalar(scalar)
@@ -150,7 +151,7 @@ class NativeBlake2bTranscript(TranscriptRead, TranscriptWrite):
         data = self.stream.read(32)
         if len(data) != 32:
             raise TranscriptError("unexpected end of proof stream")
-        pt = EcPoint(self._loader, decompress_g1(data))
+        pt = EcPoint(self._loader, decompress_g1(data, self._loader.curve))
         self.common_ec_point(pt)
         return pt
 
@@ -160,7 +161,7 @@ class NativeBlake2bTranscript(TranscriptRead, TranscriptWrite):
 
     def write_ec_point(self, ec_point: EcPoint):
         self.common_ec_point(ec_point)
-        self.stream.write(compress_g1(ec_point.value))
+        self.stream.write(compress_g1(ec_point.value, self._loader.curve))
 
     def finalize(self) -> bytes:
         return self.stream.getvalue()
@@ -175,7 +176,7 @@ class NativeBlake2bTranscript(TranscriptRead, TranscriptWrite):
 # ---------------------------------------------------------------------------
 
 
-def compress_g1(point) -> bytes:
+def compress_g1(point, curve=bn254) -> bytes:
     if point is None:
         return bytes(32)
     x, y = point
@@ -184,21 +185,23 @@ def compress_g1(point) -> bytes:
     return bytes(data)
 
 
-def decompress_g1(data: bytes):
+def decompress_g1(data: bytes, curve=bn254):
+    from snark_verifier_tpu.util.curves import sqrt_mod
+
     if data == bytes(32):
         return None
     raw = bytearray(data)
     parity = raw[31] >> 7
     raw[31] &= 0x7F
     x = int.from_bytes(raw, "little")
-    if x >= bn254.P:
+    if x >= curve.P:
         raise TranscriptError("invalid compressed x coordinate")
-    y2 = (pow(x, 3, bn254.P) + bn254.G1_B) % bn254.P
-    y = pow(y2, (bn254.P + 1) // 4, bn254.P)
-    if y * y % bn254.P != y2:
+    y2 = (pow(x, 3, curve.P) + curve.G1_B) % curve.P
+    y = sqrt_mod(y2, curve.P)
+    if y is None:
         raise TranscriptError("compressed point is not on the curve")
     if y & 1 != parity:
-        y = bn254.P - y
+        y = curve.P - y
     return (x, y)
 
 
@@ -230,7 +233,7 @@ class NativePoseidonTranscript(TranscriptRead, TranscriptWrite):
         if len(data) != 32:
             raise TranscriptError("unexpected end of proof stream")
         value = int.from_bytes(data, "little")
-        if value >= bn254.R:
+        if value >= self._loader.curve.R:
             raise TranscriptError("invalid scalar encoding in proof")
         scalar = self._loader.load_const(value)
         self.common_scalar(scalar)
@@ -240,7 +243,7 @@ class NativePoseidonTranscript(TranscriptRead, TranscriptWrite):
         data = self.stream.read(32)
         if len(data) != 32:
             raise TranscriptError("unexpected end of proof stream")
-        pt = EcPoint(self._loader, decompress_g1(data))
+        pt = EcPoint(self._loader, decompress_g1(data, self._loader.curve))
         self.common_ec_point(pt)
         return pt
 
@@ -250,7 +253,7 @@ class NativePoseidonTranscript(TranscriptRead, TranscriptWrite):
 
     def write_ec_point(self, ec_point: EcPoint):
         self.common_ec_point(ec_point)
-        self.stream.write(compress_g1(ec_point.value))
+        self.stream.write(compress_g1(ec_point.value, self._loader.curve))
 
     def finalize(self) -> bytes:
         return self.stream.getvalue()

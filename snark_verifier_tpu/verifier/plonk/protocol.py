@@ -41,33 +41,37 @@ class Rotation:
 
 @dataclass(frozen=True)
 class Domain:
-    """2-adic multiplicative domain over Fr (python-int constants)."""
+    """2-adic multiplicative domain over a scalar field (python-int
+    constants; the field modulus rides along so non-BN254 instantiations —
+    pasta for the IPA stack — reuse the same machinery)."""
 
     k: int
     n: int
     n_inv: int
     gen: int
     gen_inv: int
+    r: int = bn254.R  # scalar field modulus
 
     @staticmethod
-    def new(k: int, gen: Optional[int] = None) -> "Domain":
-        gen = bn254.root_of_unity(k) if gen is None else gen
+    def new(k: int, gen: Optional[int] = None, curve=bn254) -> "Domain":
+        gen = curve.root_of_unity(k) if gen is None else gen
         n = 1 << k
         return Domain(
             k=k,
             n=n,
-            n_inv=bn254.inv_mod(n, bn254.R),
+            n_inv=curve.inv_mod(n, curve.R),
             gen=gen,
-            gen_inv=bn254.inv_mod(gen, bn254.R),
+            gen_inv=curve.inv_mod(gen, curve.R),
+            r=curve.R,
         )
 
     def rotate_scalar(self, scalar: int, rotation: Rotation) -> int:
         """scalar * gen^rotation (util/arithmetic.rs:153-159)."""
-        r = rotation.value
-        if r == 0:
-            return scalar % bn254.R
-        base = self.gen if r > 0 else self.gen_inv
-        return scalar * pow(base, abs(r), bn254.R) % bn254.R
+        rot = rotation.value
+        if rot == 0:
+            return scalar % self.r
+        base = self.gen if rot > 0 else self.gen_inv
+        return scalar * pow(base, abs(rot), self.r) % self.r
 
 
 # ---------------------------------------------------------------------------

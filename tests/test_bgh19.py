@@ -1,4 +1,5 @@
-"""BGH19 structural tests (verifier-side; e2e pending a halo2-IPA prover)."""
+"""BGH19 tests: structure + full prover->verifier->decider e2e on BN254 AND
+pallas (the reference's IPA curve, system/halo2/test/ipa/native.rs)."""
 
 from snark_verifier_tpu.loader.native import NativeLoader
 from snark_verifier_tpu.pcs import Query
@@ -76,3 +77,70 @@ def test_blake2b_transcript_roundtrip():
     r2 = NativeBlake2bTranscript(proof, loader)
     r2.read_scalar()
     assert r2.squeeze_challenge().value != c1.value
+
+
+import random
+
+import pytest
+
+from snark_verifier_tpu.errors import AssertionFailure
+from snark_verifier_tpu.loader import EcPoint
+from snark_verifier_tpu.pcs.ipa import IpaAs, IpaProvingKey
+from snark_verifier_tpu.pcs.ipa.bgh19 import Bgh19
+from snark_verifier_tpu.util.curves import pallas
+from snark_verifier_tpu.util.msm_symbolic import Msm
+
+
+def _peval(c, z, r):
+    acc = 0
+    for v in reversed(c):
+        acc = (acc * z + v) % r
+    return acc
+
+
+def _absorb(transcript, loader, commits, evals, x):
+    for c in commits:
+        transcript.common_ec_point(EcPoint(loader, c))
+    for v in evals:
+        transcript.common_scalar(loader.load_const(v))
+    transcript.common_scalar(loader.load_const(x))
+
+
+@pytest.mark.parametrize("curve", [bn, pallas], ids=["bn254", "pallas"])
+def test_bgh19_end_to_end(curve):
+    k, npoly = 3, 4
+    r = curve.R
+    pk = IpaProvingKey.rand(k, zk=True, seed=5, curve=curve)
+    rng = random.Random(9)
+    polys = [[rng.randrange(r) for _ in range(1 << k)] for _ in range(npoly)]
+    w = curve.root_of_unity(k)
+    specs = [(0, 1), (1, 1), (2, 1), (2, w), (3, 1)]
+    x = rng.randrange(r)
+    commits = [pk.commit(p, 0) for p in polys]  # unblinded commits, zk base
+    evals = [_peval(polys[p], sh * x % r, r) for p, sh in specs]
+
+    lp = NativeLoader(curve)
+    tw = NativeBlake2bTranscript(loader=lp)
+    _absorb(tw, lp, commits, evals, x)
+    Bgh19.create_proof(pk, polys, specs, x, tw)
+    stream = tw.finalize()
+
+    def verify(evals_v):
+        lv = NativeLoader(curve)
+        tr = NativeBlake2bTranscript(stream, lv)
+        _absorb(tr, lv, commits, evals_v, x)
+        queries = [
+            Query(p, sh, lv.load_const(ev)) for (p, sh), ev in zip(specs, evals_v)
+        ]
+        proof = Bgh19.read_proof(pk.svk(), queries, tr)
+        commitments = [Msm.base(EcPoint(lv, c)) for c in commits]
+        acc = Bgh19.verify(pk.svk(), commitments, lv.load_const(x), queries, proof)
+        assert IpaAs.decide(pk.dk(), acc) is True
+
+    verify(evals)
+
+    # negative: a single wrong claimed eval must fail the final IPA check
+    bad = list(evals)
+    bad[2] = (bad[2] + 1) % r
+    with pytest.raises(AssertionFailure):
+        verify(bad)

@@ -143,3 +143,47 @@ def test_ipa_jax_succinct_and_decide():
     ux = limbs_to_int(np.asarray(out["ux"])[0])
     uy = limbs_to_int(np.asarray(out["uy"])[0])
     assert (ux, uy) == nacc.u.value
+
+
+def test_ipa_round_trip_pallas():
+    """Reference-parity instantiation on pasta/pallas with the Blake2b
+    transcript (pcs/ipa.rs + system/halo2/test/ipa/native.rs:54-59)."""
+    from snark_verifier_tpu.system.halo2.transcript import NativeBlake2bTranscript
+    from snark_verifier_tpu.util.curves import pallas
+
+    r = pallas.R
+    pk = IpaProvingKey.rand(K, zk=True, seed=11, curve=pallas)
+    p = [rng.randrange(r) for _ in range(pk.domain.n)]
+    omega = rng.randrange(r)
+    c = pk.commit(p, omega)
+    z = rng.randrange(r)
+    v = sum(coef * pow(z, i, r) for i, coef in enumerate(p)) % r
+
+    lw = NativeLoader(pallas)
+    tw = NativeBlake2bTranscript(loader=lw)
+    Ipa.create_proof(pk, p, z, omega, tw, rng)
+    proof_bytes = tw.finalize()
+
+    loader = NativeLoader(pallas)
+    svk = pk.svk()
+    transcript = NativeBlake2bTranscript(proof_bytes, loader)
+    proof = Ipa.read_proof(svk, transcript)
+    acc = Ipa.succinct_verify(
+        svk,
+        Msm.base(EcPoint(loader, c)),
+        loader.load_const(z),
+        loader.load_const(v),
+        proof,
+    )
+    assert IpaAs.decide(pk.dk(), acc) is True
+
+    transcript = NativeBlake2bTranscript(proof_bytes, loader)
+    proof = Ipa.read_proof(svk, transcript)
+    with pytest.raises(AssertionFailure):
+        Ipa.succinct_verify(
+            svk,
+            Msm.base(EcPoint(loader, c)),
+            loader.load_const(z),
+            loader.load_const((v + 1) % r),
+            proof,
+        )
