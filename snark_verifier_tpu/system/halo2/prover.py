@@ -113,6 +113,14 @@ def create_proof(
         zni = zni * zn % R
     coeffs[quotient_idx] = h_comb
 
+    if protocol.linearization == "without-constant":
+        # the WithoutConstant strategy (proof.rs:272-283) expects a
+        # linearization polynomial at index quotient+1; with every numerator
+        # poly evaluated its reconstructed commitment is empty, so the
+        # polynomial is identically zero (evaluation 0 sent via the
+        # protocol's evaluation list, opened like any other query).
+        coeffs[quotient_idx + 1] = [0]
+
     # ---- evaluations -------------------------------------------------------
     for q in protocol.evaluations:
         point = domain.rotate_scalar(z_point, q.rotation)

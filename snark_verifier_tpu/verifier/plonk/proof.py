@@ -143,7 +143,14 @@ class PlonkProof:
 
     def commitments(self, protocol, common_poly_eval, evaluations):
         """Build the per-poly commitment MSM vector and the quotient
-        evaluation (proof.rs:201-306; linearization=None path)."""
+        evaluation (proof.rs:201-306), supporting all three linearization
+        strategies (None / WithoutConstant / MinusVanishingTimesQuotient,
+        proof.rs:272-303).
+
+        The numerator evaluates over the Msm semiring: queried polys WITH a
+        transcript evaluation contribute constants; linearized protocols
+        leave some rotation-0 polys unevaluated, which contribute their
+        commitment (so the result is an affine Msm, not a scalar)."""
         loader = common_poly_eval.identity.loader
         commitments = (
             [Msm.base(p) for p in protocol.preprocessed]
@@ -155,19 +162,28 @@ class PlonkProof:
             + [Msm.base(w) for w in self.witnesses]
         )
 
-        if protocol.linearization is not None:
-            raise InvalidProtocol(
-                "only the halo2 linearization strategy (None) is supported"
-            )
+        def poly_cb(query):
+            if query in evaluations:
+                return Msm.constant_term(evaluations[query])
+            if query.rotation.value == 0 and query.poly < len(commitments):
+                return commitments[query.poly]
+            raise InvalidProtocol(f"missing query {query}")
+
+        def product(a, b):
+            if a.size() == 0:
+                return b * a.try_into_constant()
+            if b.size() == 0:
+                return a * b.try_into_constant()
+            raise InvalidProtocol("invalid linearization (nonlinear product)")
 
         numerator = protocol.quotient.numerator.evaluate(
-            constant=lambda v: loader.load_const(v),
-            common_poly=lambda key: common_poly_eval.get(key),
-            poly=lambda query: self._poly_eval(evaluations, query),
-            challenge=lambda idx: self.challenges[idx],
+            constant=lambda v: Msm.constant_term(loader.load_const(v)),
+            common_poly=lambda key: Msm.constant_term(common_poly_eval.get(key)),
+            poly=poly_cb,
+            challenge=lambda idx: Msm.constant_term(self.challenges[idx]),
             negated=lambda a: -a,
             sum_=lambda a, b: a + b,
-            product=lambda a, b: a * b,
+            product=product,
             scaled=lambda a, v: a * loader.load_const(v),
         )
 
@@ -183,10 +199,40 @@ class PlonkProof:
                 for coeff, chunk in zip(chunk_coeffs, self.quotients)
             ]
         )
-        commitments.append(quotient)
-        evaluations[quotient_query] = (
-            numerator * common_poly_eval.zn_minus_one_inv.evaluated()
-        )
+
+        if protocol.linearization == "without-constant":
+            # older GWC19: prover sends the linearization poly's evaluation;
+            # its commitment is reconstructed as the numerator's Msm part
+            lin_query = Query.new(quotient_query.poly + 1)
+            msm, constant = numerator.split()
+            commitments.append(quotient)
+            commitments.append(msm)
+            evaluations[quotient_query] = (
+                (constant if constant is not None else loader.load_zero())
+                + self._poly_eval(evaluations, lin_query)
+            ) * common_poly_eval.zn_minus_one_inv.evaluated()
+        elif protocol.linearization == "minus-vanishing":
+            # current GWC19: linearization poly evaluates to 0 by
+            # subtracting vanishing * quotient
+            msm, constant = (
+                numerator - quotient * common_poly_eval.zn_minus_one
+            ).split()
+            commitments.append(msm)
+            evaluations[quotient_query] = (
+                constant if constant is not None else loader.load_zero()
+            )
+        elif protocol.linearization is None:
+            commitments.append(quotient)
+            numerator_const = numerator.try_into_constant()
+            if numerator_const is None:
+                raise InvalidProtocol("invalid linearization")
+            evaluations[quotient_query] = (
+                numerator_const * common_poly_eval.zn_minus_one_inv.evaluated()
+            )
+        else:
+            raise InvalidProtocol(
+                f"unknown linearization strategy {protocol.linearization!r}"
+            )
         return commitments
 
     @staticmethod
