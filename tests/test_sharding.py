@@ -39,3 +39,54 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_msm_2d_and_padding():
+    """2-host x 4-chip hierarchical MSM (DCN story, BASELINE config 5 shape):
+    bit-equal to single-chip, including a point count that does NOT divide
+    the mesh (identity padding)."""
+    from snark_verifier_tpu.parallel.mesh import make_mesh_2d, sharded_msm_2d
+
+    mesh = make_mesh_2d(2, 4)
+    n = 37  # deliberately not a multiple of 8
+    pts = [bn.g1_mul(bn.G1_GEN, 2 * i + 5) for i in range(n)]
+    scalars = [bn.R - 7 * i - 3 for i in range(n)]
+    g1 = C.g1_from_affine_ints(pts)
+    scal = jnp.asarray(ints_to_limbs(scalars))
+
+    with mesh:
+        total = sharded_msm_2d(g1, scal, mesh)
+    multi = C.g1_to_affine_ints(total)[0]
+    assert multi == bn.g1_msm(scalars, pts)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_verifier_2d_matches_flat():
+    from snark_verifier_tpu.parallel.batch import (
+        build_verifier,
+        pack_instances,
+        pack_proofs,
+    )
+    from snark_verifier_tpu.parallel.mesh import make_mesh_2d, shard_verifier_2d
+    from snark_verifier_tpu.pcs.kzg import KzgGwc
+    from snark_verifier_tpu.sdk import gen_proof
+    from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+
+    srs = gen_srs(4)
+    protocol, pk = build_standard_plonk(4, srs)
+    instances = [[[i + 50]] for i in range(8)]
+    proofs = [
+        gen_proof(pk, ins, "gwc", cache_name=f"shard2d_{i}")
+        for i, ins in enumerate(instances)
+    ]
+    fn = build_verifier(protocol, KzgGwc, srs.g[0])
+    pa, ia = pack_proofs(proofs), pack_instances(instances)
+
+    flat = jax.jit(fn)(pa, ia)
+    mesh = make_mesh_2d(2, 4)
+    out = shard_verifier_2d(fn, mesh)(pa, ia)
+    assert bool(np.asarray(out["ok"]).all())
+    for key in ("lhs_x", "lhs_y", "rhs_x", "rhs_y"):
+        assert np.array_equal(np.asarray(out[key]), np.asarray(flat[key]))
