@@ -203,10 +203,191 @@ def _combine_stage(f1, f2, lhs_inf, rhs_inf):
     return T.fq12_mul(neutralize(f1, lhs_inf), neutralize(f2, rhs_inf))
 
 
+_BN_X_BITS = [int(b) for b in bin(bn254.BN_X)[3:]]  # MSB-first, leading 1 cut
+
+# --- Final exponentiation as a tape VM -------------------------------------
+#
+# The Scott et al. addition chain (util/bn254.py final_exponentiation_chain)
+# is ~300 Fq12 ops.  Inlining them into one XLA graph multiplies compile time
+# past 8 minutes (each stacked fq12_mul traces ~550 eqns); a blind
+# square-and-multiply scan compiles fast but runs ~6100 steps.  Best of both:
+# run the chain as a lax.scan over a host-built instruction tape acting on a
+# register file of flat Fq12 values — the compiled graph is ONE switch body
+# (mul / conj / frobenius) regardless of chain length, and the constant
+# exponent bits bake into the tape so there are no data-dependent branches.
+
+_OP_MUL, _OP_CONJ, _OP_FROB = 0, 1, 2
+_REG_ONE, _REG_INV, _REG_F0 = 0, 1, 2
+
+
+@functools.lru_cache(maxsize=1)
+def _hard_exp_tape():
+    """Instruction tape (op, dst, src1, src2) mirroring
+    util/bn254.final_exponentiation_chain.  src2 is the second register for
+    MUL and the Frobenius power minus one for FROB.  Registers: 0 = Fq12 one
+    (copy source), 1 = inv(f0), 2 = f0; 3..15 scratch.  Returns
+    (tape int32 (N,4), output register, register count)."""
+    import numpy as np
+
+    instrs = []
+
+    def mul(d, a, b):
+        instrs.append((_OP_MUL, d, a, b))
+
+    def conj(d, a):
+        instrs.append((_OP_CONJ, d, a, 0))
+
+    def frob(d, a, k):
+        instrs.append((_OP_FROB, d, a, k - 1))
+
+    def pow_x(d, src):  # d <- src^BN_X (d must differ from src)
+        mul(d, src, _REG_ONE)
+        for bit in _BN_X_BITS:
+            mul(d, d, d)
+            if bit:
+                mul(d, d, src)
+
+    # easy part: f = g * frob(g, 2) where g = conj(f0) * inv(f0)
+    conj(3, _REG_F0)
+    mul(1, 3, _REG_INV)
+    frob(2, 1, 2)
+    mul(1, 2, 1)  # r1 = f
+    # hard part
+    frob(2, 1, 1)  # fp
+    frob(3, 1, 2)  # fp2
+    frob(4, 3, 1)  # fp3
+    mul(2, 2, 3)
+    mul(2, 2, 4)  # r2 = y0 = fp*fp2*fp3
+    pow_x(3, 1)  # r3 = fu
+    pow_x(4, 3)  # r4 = fu2
+    pow_x(5, 4)  # r5 = fu3
+    frob(6, 3, 1)
+    conj(6, 6)  # r6 = y3 = conj(frob(fu, 1))
+    frob(7, 4, 1)  # fu2p
+    frob(8, 5, 1)  # fu3p
+    frob(9, 4, 2)  # r9 = y2
+    conj(10, 1)  # r10 = y1 = conj(f)
+    mul(11, 3, 7)
+    conj(11, 11)  # r11 = y4 = conj(fu*fu2p)
+    conj(12, 4)  # r12 = y5 = conj(fu2)
+    mul(13, 5, 8)
+    conj(13, 13)  # r13 = y6 = conj(fu3*fu3p)
+    mul(14, 13, 13)
+    mul(14, 14, 11)
+    mul(14, 14, 12)  # t0 = y6^2 * y4 * y5
+    mul(15, 6, 12)
+    mul(15, 15, 14)  # t1 = y3 * y5 * t0
+    mul(14, 14, 9)  # t0 *= y2
+    mul(15, 15, 15)
+    mul(15, 15, 14)  # t1 = t1^2 * t0
+    mul(15, 15, 15)  # t1 = t1^2
+    mul(14, 15, 10)  # t0 = t1 * y1
+    mul(15, 15, 2)  # t1 = t1 * y0
+    mul(14, 14, 14)  # t0 = t0^2
+    mul(14, 14, 15)  # result
+    return np.asarray(instrs, np.int32), 14, 16
+
+
+@functools.lru_cache(maxsize=1)
+def _frob_tables():
+    """Per-power Frobenius data for the flat layout: coefficient limbs
+    (2 powers, 6 fq2 slots, 2 components, 16 limbs) and the conjugation flag.
+    Slot (l, j) covers flat components 2*(3l+j), 2*(3l+j)+1; its coefficient
+    is FROB_FQ6_C{j}[k] * (FROB_FQ12_C1[k] if l else 1)."""
+    import numpy as np
+
+    from snark_verifier_tpu.ops.limbs import int_to_limbs
+
+    def enc(v):
+        return int_to_limbs(FQ.to_mont_int(v))
+
+    tab = np.zeros((2, 6, 2, 16), np.uint32)
+    for k in (1, 2):
+        c6 = [(1, 0), bn254.FROB_FQ6_C1[k], bn254.FROB_FQ6_C2[k]]
+        for l in range(2):
+            for j in range(3):
+                coef = c6[j]
+                if l:
+                    coef = bn254.fq2_mul(coef, bn254.FROB_FQ12_C1[k])
+                tab[k - 1, 3 * l + j, 0] = enc(coef[0])
+                tab[k - 1, 3 * l + j, 1] = enc(coef[1])
+    odd = np.asarray([True, False])  # power 1 conjugates, power 2 doesn't
+    # numpy on purpose: jnp constants materialized under a trace would be
+    # cached as tracers and leak into later traces.
+    return tab, odd
+
+
+def _frob_flat(x, k_idx):
+    """Frobenius^k on a flat Fq12 (12, *B, 16); k_idx = power - 1 (traced)."""
+    tab, odd = _frob_tables()
+    coeff = jnp.take(jnp.asarray(tab), k_idx, axis=0)  # (6, 2, 16)
+    a0, a1 = x[0::2], x[1::2]  # (6, *B, 16)
+    a1 = F.select(
+        jnp.broadcast_to(jnp.take(jnp.asarray(odd), k_idx), a1.shape[:-1]),
+        F.neg(a1, FQ),
+        a1,
+    )
+
+    def bcast(c):  # (6, 16) -> (6, *B, 16)
+        return jnp.broadcast_to(
+            c.reshape(c.shape[0], *([1] * (a0.ndim - 2)), c.shape[-1]), a0.shape
+        )
+
+    c0, c1 = bcast(coeff[:, 0]), bcast(coeff[:, 1])
+    lhs = jnp.concatenate([a0, a1, F.add(a0, a1, FQ)])
+    rhs = jnp.concatenate([c0, c1, F.add(c0, c1, FQ)])
+    rr = F.mont_mul(lhs, rhs, FQ)
+    t0, t1, t2 = rr[:6], rr[6:12], rr[12:]
+    r0 = F.sub(t0, t1, FQ)
+    r1 = F.sub(t2, F.add(t0, t1, FQ), FQ)
+    return jnp.stack([r0, r1], axis=1).reshape(x.shape)
+
+
+def _conj_flat(x):
+    return jnp.concatenate([x[:6], F.neg(x[6:], FQ)], axis=0)
+
+
+def _mul_flat(x, y):
+    return T.fq12_to_flat(T.fq12_mul(T.fq12_from_flat(x), T.fq12_from_flat(y)))
+
+
+@jax.jit
+def _final_exp_chain_stage(f):
+    """Easy part + the Scott hard-part chain, executed by the tape VM.
+    Bit-exact vs the oracle chain and the scan path
+    (tests/test_pairing_jax.py)."""
+    tape, out_reg, nregs = _hard_exp_tape()
+    inv = T.fq12_inv(f)
+    shape = jax.tree_util.tree_leaves(f)[0].shape[:-1]
+    regs = [
+        T.fq12_to_flat(T.fq12_ones(shape)),
+        T.fq12_to_flat(inv),
+        T.fq12_to_flat(f),
+    ]
+    regs += [jnp.zeros_like(regs[0])] * (nregs - len(regs))
+    regs = jnp.stack(regs)  # (R, 12, *B, 16)
+
+    def step(regs, ins):
+        op, dst, s1, s2 = ins[0], ins[1], ins[2], ins[3]
+        x = jnp.take(regs, s1, axis=0)
+        y = jnp.take(regs, s2, axis=0)
+        res = jax.lax.switch(
+            op,
+            [
+                lambda o: _mul_flat(o[0], o[1]),
+                lambda o: _conj_flat(o[0]),
+                lambda o: _frob_flat(o[0], o[2]),
+            ],
+            (x, y, s2),
+        )
+        return jax.lax.dynamic_update_index_in_dim(regs, res, dst, axis=0), None
+
+    regs, _ = jax.lax.scan(step, regs, jnp.asarray(tape))
+    return T.fq12_from_flat(regs[out_reg])
+
+
 def _final_exp_stage(f):
-    # NOT jitted: final_exponentiation stages its own chunked scans; an outer
-    # jit would fuse them back into one >3000-step scan (TPU worker crash).
-    return final_exponentiation(f)
+    return _final_exp_chain_stage(f)
 
 
 @jax.jit

@@ -179,10 +179,57 @@ def fq6_ones(shape=()):
 
 
 def fq12_mul(a, b):
-    t0 = fq6_mul(a[0], b[0])
-    t1 = fq6_mul(a[1], b[1])
+    """Stacked-SoA Karatsuba: the 54 Fq products of the Fq12 tower collapse
+    into ONE batched mont_mul over a stacked (54, ..., 16) operand pair, and
+    the Karatsuba sums/recombinations are fused elementwise adds.  Same op
+    sequence per product as the layered tower (bit-exact), but the scan
+    bodies built from it (Miller loop, final exponentiation) shrink ~50x in
+    HLO count — the per-op dispatch overhead at small batch was the entire
+    decide cost (106 s -> ~3 s for the final exp on one v5e chip)."""
+    pairs = []
+
+    def sched_fq2(x, y):
+        idx = len(pairs)
+        pairs.append((x[0], y[0]))
+        pairs.append((x[1], y[1]))
+        pairs.append((fq_add(x[0], x[1]), fq_add(y[0], y[1])))
+        return idx
+
+    def sched_fq6(x, y):
+        return [
+            sched_fq2(x[0], y[0]),
+            sched_fq2(x[1], y[1]),
+            sched_fq2(x[2], y[2]),
+            sched_fq2(fq2_add(x[1], x[2]), fq2_add(y[1], y[2])),
+            sched_fq2(fq2_add(x[0], x[1]), fq2_add(y[0], y[1])),
+            sched_fq2(fq2_add(x[0], x[2]), fq2_add(y[0], y[2])),
+        ]
+
+    i0 = sched_fq6(a[0], b[0])
+    i1 = sched_fq6(a[1], b[1])
+    i2 = sched_fq6(fq6_add(a[0], a[1]), fq6_add(b[0], b[1]))
+
+    shape = jnp.broadcast_shapes(*(p[0].shape for p in pairs))
+    aa = jnp.stack([jnp.broadcast_to(p[0], shape) for p in pairs])
+    bb = jnp.stack([jnp.broadcast_to(p[1], shape) for p in pairs])
+    rr = F.mont_mul(aa, bb, FQ)
+
+    def fq2_from(idx):
+        t0, t1, t2 = rr[idx], rr[idx + 1], rr[idx + 2]
+        return (fq_sub(t0, t1), fq_sub(t2, fq_add(t0, t1)))
+
+    def fq6_from(idxs):
+        t0, t1, t2 = fq2_from(idxs[0]), fq2_from(idxs[1]), fq2_from(idxs[2])
+        m12, m01, m02 = fq2_from(idxs[3]), fq2_from(idxs[4]), fq2_from(idxs[5])
+        c0 = fq2_add(t0, fq2_mul_xi(fq2_sub(m12, fq2_add(t1, t2))))
+        c1 = fq2_add(fq2_sub(m01, fq2_add(t0, t1)), fq2_mul_xi(t2))
+        c2 = fq2_add(fq2_sub(m02, fq2_add(t0, t2)), t1)
+        return (c0, c1, c2)
+
+    t0 = fq6_from(i0)
+    t1 = fq6_from(i1)
     c0 = fq6_add(t0, fq6_mul_by_v(t1))
-    c1 = fq6_sub(fq6_mul(fq6_add(a[0], a[1]), fq6_add(b[0], b[1])), fq6_add(t0, t1))
+    c1 = fq6_sub(fq6_from(i2), fq6_add(t0, t1))
     return (c0, c1)
 
 
@@ -202,6 +249,23 @@ def fq12_inv(a):
 
 def fq12_ones(shape=()):
     return (fq6_ones(shape), fq6_zeros(shape))
+
+
+def fq12_to_flat(f):
+    """Fq12 tuple-tree -> flat (12, *batch, 16) array, component order
+    (l, j, c) = l*6 + j*2 + c for Fq12 index l, Fq6 index j, Fq2 index c.
+    The flat layout makes Fq12 registers dynamically indexable (the final-exp
+    tape VM in ops/pairing.py scatters/gathers whole registers per step)."""
+    comps = [f[l][j][c] for l in (0, 1) for j in (0, 1, 2) for c in (0, 1)]
+    shape = jnp.broadcast_shapes(*(x.shape for x in comps))
+    return jnp.stack([jnp.broadcast_to(x, shape) for x in comps])
+
+
+def fq12_from_flat(v):
+    return tuple(
+        tuple((v[l * 6 + j * 2], v[l * 6 + j * 2 + 1]) for j in range(3))
+        for l in range(2)
+    )
 
 
 def fq12_select(cond, a, b):

@@ -14,6 +14,45 @@ def test_final_exp_chain_oracle():
     assert bn.final_exponentiation_chain(ml) == bn.final_exponentiation(ml)
 
 
+def test_final_exp_tape_vm_vs_oracle():
+    """The tape-VM final exponentiation (ops/pairing._final_exp_chain_stage)
+    must be bit-exact vs the oracle chain on a batch."""
+    import jax.numpy as jnp
+
+    from snark_verifier_tpu.ops import field as F
+    from snark_verifier_tpu.ops.limbs import int_to_limbs, limbs_to_int
+
+    mls = [
+        bn.miller_loop(bn.g1_mul(bn.G1_GEN, 3), bn.g2_mul(bn.G2_GEN, 4)),
+        bn.miller_loop(bn.g1_mul(bn.G1_GEN, 9), bn.g2_mul(bn.G2_GEN, 2)),
+    ]
+
+    def enc_comp(c):
+        return jnp.asarray(
+            [int_to_limbs(F.FQ.to_mont_int(m)) for m in c], jnp.uint32
+        )
+
+    f = tuple(
+        tuple(
+            (enc_comp([m[l][j][0] for m in mls]), enc_comp([m[l][j][1] for m in mls]))
+            for j in range(3)
+        )
+        for l in range(2)
+    )
+    out = PAIR._final_exp_chain_stage(f)
+    for i, ml in enumerate(mls):
+        got = tuple(
+            tuple(
+                tuple(
+                    F.FQ.from_mont_int(limbs_to_int(np.asarray(c)[i])) for c in c2
+                )
+                for c2 in c6
+            )
+            for c6 in out
+        )
+        assert got == bn.final_exponentiation_chain(ml)
+
+
 def test_kzg_pairing_check_batched():
     s = 987654321  # plays the role of the SRS secret
     g2 = bn.G2_GEN
