@@ -1,0 +1,117 @@
+"""Halo2Loader: the in-circuit interpreter of the verifier program.
+
+Parity target: loader/halo2/loader.rs:22-734 — running the loader-generic
+PLONK verifier with this loader SYNTHESIZES a circuit (rows + copy
+constraints in a CircuitBuilder) whose satisfying witness is the verifier
+run itself.  Scalars live as assigned Fr cells (MainGateChip); EC points as
+non-native 68-bit-limb coordinates (EccChip).  The resulting circuit is
+proven by the host prover and verified by every backend, closing the
+recursion loop: the aggregated accumulator's limbs become the outer
+circuit's public instances (sdk/aggregation.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from snark_verifier_tpu.loader import EcPoint, Loader, Scalar
+from snark_verifier_tpu.loader.halo2.builder import CircuitBuilder
+from snark_verifier_tpu.loader.halo2.main_gate import MainGateChip
+from snark_verifier_tpu.loader.halo2.shim import AssignedInteger, Context
+from snark_verifier_tpu.util import bn254
+
+
+class Halo2Loader(Loader):
+    """Scalars carry `AssignedInteger`; EC points carry the ecc chip's
+    assigned point representation."""
+
+    def __init__(self, ecc_chip=None, builder: CircuitBuilder | None = None):
+        self.builder = builder or CircuitBuilder()
+        self.ctx = Context(self.builder)
+        self.ecc_chip = ecc_chip
+        self.scalar_chip = (
+            ecc_chip.scalar_chip() if ecc_chip is not None else MainGateChip()
+        )
+        self._const_cache: dict[int, Scalar] = {}
+
+    # -- assignment entry points (loader.rs:80-108) ---------------------------
+    def assign_scalar(self, value: int) -> Scalar:
+        """Witness a scalar (unconstrained cell)."""
+        return Scalar(self, self.scalar_chip.assign_integer(self.ctx, value))
+
+    def assign_ec_point(self, point) -> EcPoint:
+        """Witness an EC point ((x, y) ints or None)."""
+        return EcPoint(self, self.ecc_chip.assign_point(self.ctx, point))
+
+    def expose_scalar(self, scalar: Scalar):
+        """Make an assigned scalar a public instance of the circuit."""
+        self.builder.expose_public(scalar.value.cell, scalar.value.value)
+
+    # -- Loader primitives ----------------------------------------------------
+    def load_const(self, value: int) -> Scalar:
+        value %= bn254.R
+        if value not in self._const_cache:
+            self._const_cache[value] = Scalar(
+                self, self.scalar_chip.assign_constant(self.ctx, value)
+            )
+        return self._const_cache[value]
+
+    def add(self, a: Scalar, b: Scalar) -> Scalar:
+        return Scalar(
+            self,
+            self.scalar_chip.sum_with_coeff_and_const(
+                self.ctx, [(1, a.value), (1, b.value)], 0
+            ),
+        )
+
+    def sub(self, a: Scalar, b: Scalar) -> Scalar:
+        return Scalar(self, self.scalar_chip.sub(self.ctx, a.value, b.value))
+
+    def mul(self, a: Scalar, b: Scalar) -> Scalar:
+        return Scalar(
+            self,
+            self.scalar_chip.sum_products_with_coeff_and_const(
+                self.ctx, [(1, a.value, b.value)], 0
+            ),
+        )
+
+    def neg(self, a: Scalar) -> Scalar:
+        return Scalar(self, self.scalar_chip.neg(self.ctx, a.value))
+
+    def invert(self, a: Scalar) -> Scalar:
+        return Scalar(self, self.scalar_chip.invert(self.ctx, a.value))
+
+    def assert_eq(self, annotation: str, lhs: Scalar, rhs: Scalar):
+        self.scalar_chip.assert_equal(self.ctx, lhs.value, rhs.value)
+
+    # -- efficient sums via the main gate (loader.rs:183-263) -----------------
+    def sum_with_coeff_and_const(self, values, constant: int) -> Scalar:
+        return Scalar(
+            self,
+            self.scalar_chip.sum_with_coeff_and_const(
+                self.ctx, [(c, v.value) for c, v in values], constant
+            ),
+        )
+
+    def sum_products_with_coeff_and_const(self, values, constant: int) -> Scalar:
+        return Scalar(
+            self,
+            self.scalar_chip.sum_products_with_coeff_and_const(
+                self.ctx, [(c, a.value, b.value) for c, a, b in values], constant
+            ),
+        )
+
+    # -- EC side (delegates to the ecc chip) ----------------------------------
+    def ec_point_load_const(self, point) -> EcPoint:
+        return EcPoint(self, self.ecc_chip.assign_constant(self.ctx, point))
+
+    def ec_point_assert_eq(self, annotation: str, lhs: EcPoint, rhs: EcPoint):
+        self.ecc_chip.assert_equal(self.ctx, lhs.value, rhs.value)
+
+    def multi_scalar_multiplication(
+        self, pairs, constant: Optional[tuple] = None
+    ) -> EcPoint:
+        chip_pairs = [(s.value, p.value) for s, p in pairs]
+        return EcPoint(
+            self, self.ecc_chip.variable_base_msm(self.ctx, chip_pairs, constant)
+        )
