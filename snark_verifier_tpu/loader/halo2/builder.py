@@ -403,3 +403,76 @@ class CircuitBuilder:
         for row, v in self.instances:
             vals[row] = v
         return vals
+
+
+class StreamingChecker(CircuitBuilder):
+    """Check-only builder: every row is verified the moment it is emitted
+    and then discarded (only cell values are kept, for copy checks).
+
+    The full-scale in-circuit verifier runs to millions of rows — too large
+    to hold as python tuples or to prove with the host prover, but its
+    satisfiability is exactly checkable this way (the halo2 MockProver role
+    at aggregation scale).  `build()` is unavailable; synthesize with a
+    regular CircuitBuilder for circuits meant to be proven."""
+
+    def __init__(self, range_bits: int = 0):
+        super().__init__(range_bits)
+        self._vals = ([], [], [])
+        self._n = 0
+        self.failures: list = []
+
+    def new_row(self, qa=0, qb=0, qc=0, qab=0, const=0, a=0, b=0, c=0,
+                copy_a: Cell | None = None, copy_b: Cell | None = None,
+                copy_c: Cell | None = None) -> int:
+        R = bn254.R
+        a, b, c = a % R, b % R, c % R
+        row = self._n
+        self._n += 1
+        instance = self._pending_instance if getattr(self, "_pending_instance", None) else 0
+        v = (qa * a + qb * b + qc * c + qab * a % R * b + const + instance) % R
+        if v:
+            self.failures.append(f"gate unsatisfied at row {row}")
+        for val, src in ((a, copy_a), (b, copy_b), (c, copy_c)):
+            if src is not None and self._vals[src.col][src.row] != val:
+                self.failures.append(f"copy constraint violated at row {row}")
+        for i, val in enumerate((a, b, c)):
+            self._vals[i].append(val)
+        return row
+
+    def witness_cell(self, value: int) -> Cell:
+        value %= bn254.R
+        if self._witness_cursor is not None:
+            row, col = self._witness_cursor
+            self._vals[col][row] = value
+            self._witness_cursor = (row, col + 1) if col + 1 < 3 else None
+            return Cell(col, row)
+        row = self.new_row(a=value)
+        self._witness_cursor = (row, 1)
+        return Cell(0, row)
+
+    def copy(self, c1: Cell, c2: Cell):
+        if self._vals[c1.col][c1.row] != self._vals[c2.col][c2.row]:
+            self.failures.append(f"copy constraint violated: {c1} vs {c2}")
+
+    def expose_public(self, cell: Cell, value: int):
+        self._pending_instance = value % bn254.R
+        super().expose_public(cell, value)
+        self._pending_instance = 0
+        self.instances[-1] = (self.instances[-1][0], value % bn254.R)
+
+    def range_cell(self, value: int) -> Cell:
+        assert self.range_bits > 0
+        if not 0 <= value < (1 << self.range_bits):
+            self.failures.append(f"range cell out of bounds at row {self._n}")
+        row = self.new_row(a=value)
+        return Cell(0, row)
+
+    def check_witness(self) -> list:
+        return self.failures
+
+    @property
+    def n_rows(self):
+        return self._n
+
+    def build(self, srs, name: str = ""):
+        raise NotImplementedError("StreamingChecker is check-only")

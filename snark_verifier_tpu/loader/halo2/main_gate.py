@@ -69,6 +69,8 @@ class MainGateChip(IntegerInstructions):
                 copy_a=u.cell, copy_b=v.cell,
             )
             terms.append(AssignedInteger(Cell(2, row), t_val))
+        if len(terms) == 1 and constant % R == 0:
+            return terms[0]
         return self.sum_with_coeff_and_const(
             ctx, [(1, t) for t in terms], constant
         )

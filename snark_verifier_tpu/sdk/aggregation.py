@@ -7,10 +7,11 @@ returns the folded accumulator together with its 4x68-bit limb encoding —
 the public-instance format of an aggregation circuit
 (accumulator_indices = (0, 0..16), aggregation.rs:387-402).
 
-The in-circuit constraint-generating interpreter (Halo2Loader) is CPU-bound
-halo2 circuit synthesis, out of TPU-compute scope; its verification-side
-parity requirement is exactly this native accumulator math plus the device
-decider.
+`aggregate_in_circuit` is the in-circuit pass (aggregation.rs:249-402):
+the same succinct-verify + fold, interpreted by the Halo2Loader, so every
+challenge, scalar identity, and MSM becomes a circuit constraint and the
+folded accumulator's 4x68-bit limbs are the circuit's public instances —
+byte-identical to the native pre-pass limbs.
 """
 
 from __future__ import annotations
@@ -73,3 +74,53 @@ def verify_aggregation(As, vk, accumulators, as_proof: bytes) -> KzgAccumulator:
     transcript = NativePoseidonTranscript(as_proof)
     proof = As.as_read_proof(vk, accumulators, transcript)
     return As.as_verify(vk, accumulators, proof)
+
+
+def aggregate_in_circuit(As, svk, snarks, as_proof: bytes = b"", builder=None):
+    """In-circuit aggregation pass (aggregation.rs:249-402): run the
+    succinct verifier + accumulation-scheme verifier under the Halo2Loader,
+    exposing the folded accumulator's 16 limb scalars as public instances.
+
+    `builder` defaults to a StreamingChecker (check-only; the synthesized
+    verifier runs to millions of rows).  Pass a recording CircuitBuilder to
+    actually compile/prove small instances.  Returns (builder, instances)
+    where instances are the exposed limb ints (must equal the native
+    pre-pass `AggregationResult.instances`)."""
+    from snark_verifier_tpu.loader import Scalar
+    from snark_verifier_tpu.loader.halo2 import Halo2Loader
+    from snark_verifier_tpu.loader.halo2.builder import StreamingChecker
+    from snark_verifier_tpu.loader.halo2.ecc_chip import EccChip
+    from snark_verifier_tpu.loader.halo2.transcript import Halo2PoseidonTranscript
+    from snark_verifier_tpu.pcs.kzg import KzgAsVerifyingKey
+
+    builder = builder if builder is not None else StreamingChecker(range_bits=16)
+    loader = Halo2Loader(ecc_chip=EccChip(), builder=builder)
+    verifier = PlonkSuccinctVerifier(As)
+
+    accumulators = []
+    for snark in snarks:
+        loaded = snark.protocol.loaded(loader)
+        instances = [
+            [loader.assign_scalar(v) for v in col] for col in snark.instances
+        ]
+        transcript = Halo2PoseidonTranscript(snark.proof, loader)
+        proof = verifier.read_proof(svk, loaded, instances, transcript)
+        accumulators.extend(verifier.verify(svk, loaded, instances, proof))
+
+    if len(accumulators) == 1:
+        accumulator = accumulators[0]
+    else:
+        transcript = Halo2PoseidonTranscript(as_proof, loader)
+        vk = KzgAsVerifyingKey()
+        proof = As.as_read_proof(vk, accumulators, transcript)
+        accumulator = As.as_verify(vk, accumulators, proof)
+
+    chip = loader.ecc_chip
+    exposed = []
+    for pt in (accumulator.lhs, accumulator.rhs):
+        for coord in (pt.value.x, pt.value.y):
+            canon = chip.integer.normalize(loader.ctx, coord)
+            for limb in canon.limbs:
+                loader.expose_scalar(Scalar(loader, limb))
+                exposed.append(limb.value)
+    return builder, exposed
