@@ -77,22 +77,36 @@ class ProvingKey:
     extended_k: int
     coset_gen: int = bn254.FR_GENERATOR
     lookups: list = None  # [LookupInfo]
+    zk_blinding: int = 0  # blinding factors B (0 = zk disabled)
+    random_poly: Optional[int] = None  # zk random witness poly index
 
 
-def build_standard_plonk(k: int, srs: Srs):
-    """Compile StandardPlonk at size 2^k; returns (protocol, pk)."""
+BLINDING = 5  # zk blinding factors (cs.blinding_factors() analogue)
+
+
+def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
+    """Compile StandardPlonk at size 2^k; returns (protocol, pk).
+
+    zk=True mirrors the reference's Config::set_zk(true) compile
+    (system/halo2.rs:520-546, 596-660): l_last = l[-(B+1)], l_blind = the B
+    trailing lagranges, the permutation constrained as l_0*(1-z),
+    l_last*(z^2-z), l_active*(left-right), and one extra random witness
+    polynomial queried last (halo2.rs:131,148,468-474).  The prover blinds
+    advice/z tail rows and commits a random polynomial."""
     assert srs.k >= k
     domain = Domain.new(k)
     n = domain.n
 
     # ---- poly index layout -------------------------------------------------
     # fixed: 0 q_a, 1 q_b, 2 q_c, 3 q_ab, 4 constant; perm-fixed: 5,6,7
-    # instance: 8; advice: 9 a, 10 b, 11 c; permutation z: 12; quotient: 13
+    # instance: 8; advice: 9 a, 10 b, 11 c; permutation z: 12;
+    # [zk: random 13]; quotient: 13 (+1 with zk)
     Q_A, Q_B, Q_C, Q_AB, CONST = range(5)
     S_A, S_B, S_C = 5, 6, 7
     INSTANCE = 8
     A, B, C = 9, 10, 11
     Z = 12
+    RAND = 13 if zk else None
 
     P = lambda idx, rot=0: Polynomial(Query.new(idx, rot))
     theta, beta, gamma, alpha = Challenge(0), Challenge(1), Challenge(2), Challenge(3)
@@ -125,22 +139,38 @@ def build_standard_plonk(k: int, srs: Srs):
         delta_pow = delta_pow * DELTA % bn254.R
     perm_main = left - right
 
-    numerator = DistributePowers((gate, perm_l0, perm_main), alpha)
-    degree = numerator.degree()  # 4
+    if zk:
+        rot_last = -(BLINDING + 1)
+        l_last = CommonLagrange(rot_last)
+        l_blind = None
+        for j in range(rot_last + 1, 0):
+            term = CommonLagrange(j)
+            l_blind = term if l_blind is None else l_blind + term
+        l_active = one - l_last - l_blind
+        perm_last = l_last * (P(Z) * P(Z) - P(Z))
+        numerator = DistributePowers(
+            (gate, perm_l0, perm_last, l_active * perm_main), alpha
+        )
+    else:
+        numerator = DistributePowers((gate, perm_l0, perm_main), alpha)
+    degree = numerator.degree()  # 4 (zk: 5)
     num_chunk = degree - 1
 
     evaluations = (
         [Query.new(A), Query.new(B), Query.new(C)]
         + [Query.new(i) for i in range(5)]
+        + ([Query.new(RAND)] if zk else [])
         + [Query.new(i) for i in (S_A, S_B, S_C)]
         + [Query.new(Z), Query.new(Z, 1)]
     )
+    QUOT = 14 if zk else 13
     queries = (
         [Query.new(A), Query.new(B), Query.new(C)]
         + [Query.new(Z), Query.new(Z, 1)]
         + [Query.new(i) for i in range(5)]
         + [Query.new(i) for i in (S_A, S_B, S_C)]
-        + [Query.new(13)]
+        + [Query.new(QUOT)]
+        + ([Query.new(RAND)] if zk else [])
     )
 
     # ---- fixed assignments (standard.rs:96-122) ---------------------------
@@ -163,7 +193,10 @@ def build_standard_plonk(k: int, srs: Srs):
         preprocessed.append(srs.commit(coeffs))
 
     transcript_initial_state = (
-        int.from_bytes(keccak256(f"svtpu-standard-plonk-k{k}".encode()), "big")
+        int.from_bytes(
+            keccak256(f"svtpu-standard-plonk{'-zk' if zk else ''}-k{k}".encode()),
+            "big",
+        )
         % bn254.R
     )
 
@@ -171,7 +204,7 @@ def build_standard_plonk(k: int, srs: Srs):
         domain=domain,
         preprocessed=preprocessed,
         num_instance=[1],
-        num_witness=[3, 0, 1],
+        num_witness=[3, 0, 2 if zk else 1],
         num_challenge=[1, 2, 1],
         evaluations=evaluations,
         queries=queries,
@@ -198,11 +231,13 @@ def build_standard_plonk(k: int, srs: Srs):
         permutation=PermutationInfo(
             columns=perm_cols, sigma_polys=[S_A, S_B, S_C], chunk=3
         ),
-        advice_phases=[[A, B, C], [], [Z]],
+        advice_phases=[[A, B, C], [], [Z, RAND] if zk else [Z]],
         z_polys=[Z],
         instance_polys=[INSTANCE],
         synthesize=synthesize,
-        extended_k=k + 2,
+        extended_k=k + (3 if zk else 2),
+        zk_blinding=BLINDING if zk else 0,
+        random_poly=RAND,
     )
     return protocol, pk
 

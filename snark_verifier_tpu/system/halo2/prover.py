@@ -32,13 +32,21 @@ def create_proof(
     scheme: str = "gwc",
     transcript_kind: str = "evm",
     allow_unsatisfied: bool = False,
+    rng=None,
 ) -> bytes:
     """Prove.  `allow_unsatisfied` skips the prover-side sanity asserts so a
     deliberately-invalid witness still yields a proof (for negative tests —
-    the verifier must reject it)."""
+    the verifier must reject it).  For zk proving keys (zk_blinding > 0) the
+    advice/z tail rows are randomized and a random polynomial is committed
+    (halo2's create_proof blinding); `rng` seeds that randomness."""
     protocol = pk.protocol
     domain = protocol.domain
     n = domain.n
+    zk_b = getattr(pk, "zk_blinding", 0)
+    if zk_b and rng is None:
+        import random as _random
+
+        rng = _random.Random()
 
     transcript = (
         NativeEvmTranscript() if transcript_kind == "evm" else NativePoseidonTranscript()
@@ -59,6 +67,21 @@ def create_proof(
             vals[i] = v % R
         values[poly_idx] = vals
     values.update(pk.synthesize(instances))
+
+    if zk_b:
+        # blind rows u+1..n-1 of every plain advice column (u = n-B-1 is the
+        # l_last row; gates hold there because selectors vanish, and the
+        # permutation is masked by l_active)
+        assert not (getattr(pk, "lookups", None)), "zk+lookups not wired yet"
+        u = n - zk_b - 1
+        special = set(pk.z_polys) | {getattr(pk, "random_poly", None)}
+        for phase_polys in pk.advice_phases:
+            for idx in phase_polys:
+                if idx not in special:
+                    col = list(values[idx])
+                    for j in range(u + 1, n):
+                        col[j] = rng.randrange(R)
+                    values[idx] = col
 
     coeffs = {}
 
@@ -83,7 +106,11 @@ def create_proof(
     ):
         for idx in advice_polys:
             if idx in pk.z_polys:
-                values[idx] = _permutation_z(pk, values, challenges, allow_unsatisfied)
+                values[idx] = _permutation_z(
+                    pk, values, challenges, allow_unsatisfied, rng=rng
+                )
+            elif zk_b and idx == getattr(pk, "random_poly", None):
+                values[idx] = [rng.randrange(R) for _ in range(n)]
             elif idx in lookup_value_polys:
                 role, lk = lookup_value_polys[idx]
                 _materialize_lookup(
@@ -140,13 +167,20 @@ def create_proof(
 # ---------------------------------------------------------------------------
 
 
-def _permutation_z(pk, values, challenges, allow_unsatisfied=False):
-    """Grand product z for the (single-chunk, zk=false) permutation argument."""
+def _permutation_z(pk, values, challenges, allow_unsatisfied=False, rng=None):
+    """Grand product z for the single-chunk permutation argument.
+
+    zk=false: product telescopes over the full domain.  zk (zk_blinding>0):
+    the product runs over the active rows 0..u-1 only (u = n-B-1), so
+    z[u] == 1 satisfies l_last*(z^2-z); the B tail rows are random
+    (halo2's permutation prover blinding)."""
     perm = pk.permutation
     assert perm is not None and len(pk.z_polys) == 1, "single z chunk supported"
     beta, gamma = challenges[-2], challenges[-1]
     domain = pk.protocol.domain
     n = domain.n
+    zk_b = getattr(pk, "zk_blinding", 0)
+    u = n - zk_b - 1 if zk_b else n
 
     omega_pows = []
     acc = 1
@@ -166,10 +200,16 @@ def _permutation_z(pk, values, challenges, allow_unsatisfied=False):
 
     den_inv = bn254.batch_inv_mod(den, R)
     z = [1] * n
-    for j in range(1, n):
+    for j in range(1, u):
         z[j] = z[j - 1] * num[j - 1] * den_inv[j - 1] % R
-    # sanity: product over all rows telescopes to 1
-    if not allow_unsatisfied:
+    if zk_b:
+        z_u = z[u - 1] * num[u - 1] * den_inv[u - 1] % R
+        if not allow_unsatisfied:
+            assert z_u == 1, "copy constraints unsatisfied"
+        z[u] = z_u if z_u == 1 else 0  # keep l_last*(z^2-z) satisfiable
+        for j in range(u + 1, n):
+            z[j] = rng.randrange(R)
+    elif not allow_unsatisfied:
         assert (
             z[n - 1] * num[n - 1] * den_inv[n - 1] % R == 1
         ), "copy constraints unsatisfied"
