@@ -157,6 +157,9 @@ def main():
         configs["aggregate_decide_s"] = round(decide4_s, 4)
         _detail({"config": 4, "fold_s": round(fold_s, 4), "decide_s": round(decide4_s, 4)})
 
+    if os.environ.get("BENCH_KERNELS"):
+        _sol_bench(configs)
+
     result = {
         "metric": "halo2_kzg_gwc_succinct_verify_throughput",
         "value": round(primary, 2),
@@ -192,6 +195,82 @@ def _msm_bench(configs):
     dt = time.time() - t0
     configs["msm_2e16_points_per_s"] = round(n / dt)
     _detail({"msm_points": n, "msm_s": round(dt, 3), "points_per_s": round(n / dt)})
+
+
+def _sol_bench(configs):
+    """Per-kernel throughput vs speed-of-light (BASELINE.md demands the
+    table; the SoL denominators are derived in PERF.md from v5e VPU/MXU
+    datasheet rates and per-element op counts)."""
+    import random
+
+    from snark_verifier_tpu.ops import curve as C
+    from snark_verifier_tpu.ops import field as F
+    from snark_verifier_tpu.ops.limbs import ints_to_limbs
+    from snark_verifier_tpu.util import bn254 as bn
+
+    rng = random.Random(0)
+    B = int(os.environ.get("BENCH_KERNEL_BATCH", "65536"))
+
+    def timeit(fn, *args, reps=3):
+        out = _sync(fn(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = _sync(fn(*args))
+            best = min(best, time.time() - t0)
+        return best, out
+
+    a = jnp.asarray(np.asarray(ints_to_limbs([rng.randrange(bn.P) for _ in range(256)])))
+    a = jnp.tile(a, (B // 256, 1))
+    b = jnp.roll(a, 1, axis=0)
+
+    mm = jax.jit(lambda x, y: F.mont_mul(x, y, F.FQ))
+    dt, _ = timeit(mm, a, b)
+    configs["sol_mont_mul_ops_per_s"] = round(B / dt)
+
+    base = [bn.g1_mul(bn.G1_GEN, i + 1) for i in range(256)]
+    p = C.g1_from_affine_ints(base * (B // 256))
+    q = C.G1(jnp.roll(p.x, 1, 0), jnp.roll(p.y, 1, 0), jnp.roll(p.z, 1, 0))
+    add = jax.jit(C.g1_add)
+    dt, _ = timeit(add, p, q)
+    configs["sol_g1_add_ops_per_s"] = round(B / dt)
+
+    from snark_verifier_tpu import config as cfg
+
+    if cfg.use_pallas():
+        from snark_verifier_tpu.ops import curve_pallas as CP
+
+        addp = jax.jit(CP.g1_add_pallas)
+        dt, _ = timeit(addp, p, q)
+        configs["sol_g1_add_pallas_ops_per_s"] = round(B / dt)
+
+    from snark_verifier_tpu.ops import poseidon as POS
+    from snark_verifier_tpu.util.poseidon import default_spec
+
+    spec = default_spec()
+    state = jnp.asarray(
+        np.asarray(ints_to_limbs([rng.randrange(bn.R) for _ in range(5 * 1024)])).reshape(
+            1024, 5, 16
+        )
+    )
+    state = jnp.tile(state, (max(1, B // 16384), 1, 1))
+    nperm = state.shape[0]
+    perm = jax.jit(lambda s: POS.permutation(spec, s, []))
+    dt, _ = timeit(perm, state)
+    configs["sol_poseidon_perm_per_s"] = round(nperm / dt)
+
+    from snark_verifier_tpu.ops import keccak as KEC
+
+    lanes = jnp.asarray(
+        np.random.RandomState(0)
+        .randint(0, 1 << 31, size=(nperm, 25, 2))
+        .astype(np.uint32)
+    )
+    kf = jax.jit(KEC.keccak_f)
+    dt, _ = timeit(kf, lanes)
+    configs["sol_keccak_f_per_s"] = round(nperm / dt)
+
+    _detail({k: v for k, v in configs.items() if k.startswith("sol_")})
 
 
 if __name__ == "__main__":
