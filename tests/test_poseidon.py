@@ -150,3 +150,31 @@ def test_poseidon_jax_matches_native(no_cache_writes):
         lhs_j, rhs_j = decode_accumulator(out, i)
         assert lhs_j == accs[0].lhs.value
         assert rhs_j == accs[0].rhs.value
+
+
+def test_spec_from_constants_import_hook():
+    """The reference-interop import hook (PoseidonSpec.from_constants): an
+    externally dumped (round_constants, mds) pair drives the sponge — same
+    constants reproduce the stream, different constants change it.  (The PSE
+    crate's own constants cannot be dumped in this offline environment; this
+    pins the hook the dump would flow through.)"""
+    from snark_verifier_tpu.util.poseidon import (
+        PoseidonSpec,
+        PoseidonSponge,
+    )
+
+    gen = PoseidonSpec.generate(5, 4, 8, 60)
+    imported = PoseidonSpec.from_constants(
+        5, 4, 8, 60, gen.round_constants, gen.mds
+    )
+    s1, s2 = PoseidonSponge(gen), PoseidonSponge(imported)
+    s1.update([1, 2, 3])
+    s2.update([1, 2, 3])
+    assert s1.squeeze() == s2.squeeze()
+
+    perturbed = [list(row) for row in gen.round_constants]
+    perturbed[0][0] = (perturbed[0][0] + 1) % (2**64)
+    other = PoseidonSpec.from_constants(5, 4, 8, 60, perturbed, gen.mds)
+    s3 = PoseidonSponge(other)
+    s3.update([1, 2, 3])
+    assert s3.squeeze() != s1.squeeze()
