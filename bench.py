@@ -210,39 +210,48 @@ def _sol_bench(configs):
 
     rng = random.Random(0)
     B = int(os.environ.get("BENCH_KERNEL_BATCH", "65536"))
+    K = int(os.environ.get("BENCH_KERNEL_CHAIN", "32"))
 
-    def timeit(fn, *args, reps=3):
-        out = _sync(fn(*args))
+    def timeit_chain(step, init, reps=3):
+        """Time K data-dependent iterations inside ONE jit, returning a tiny
+        slice — isolates device throughput from the axon tunnel transfer."""
+
+        @jax.jit
+        def run(c):
+            c, _ = jax.lax.scan(lambda c, _: (step(c), None), c, None, length=K)
+            return jax.tree_util.tree_map(lambda x: x.reshape(-1)[:1], c)
+
+        _sync(run(init))
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            out = _sync(fn(*args))
+            _sync(run(init))
             best = min(best, time.time() - t0)
-        return best, out
+        return best
 
     a = jnp.asarray(np.asarray(ints_to_limbs([rng.randrange(bn.P) for _ in range(256)])))
     a = jnp.tile(a, (B // 256, 1))
     b = jnp.roll(a, 1, axis=0)
 
-    mm = jax.jit(lambda x, y: F.mont_mul(x, y, F.FQ))
-    dt, _ = timeit(mm, a, b)
-    configs["sol_mont_mul_ops_per_s"] = round(B / dt)
+    dt = timeit_chain(lambda c: (F.mont_mul(c[0], c[1], F.FQ), c[0]), (a, b))
+    configs["sol_mont_mul_ops_per_s"] = round(B * K / dt)
 
     base = [bn.g1_mul(bn.G1_GEN, i + 1) for i in range(256)]
     p = C.g1_from_affine_ints(base * (B // 256))
     q = C.G1(jnp.roll(p.x, 1, 0), jnp.roll(p.y, 1, 0), jnp.roll(p.z, 1, 0))
-    add = jax.jit(C.g1_add)
-    dt, _ = timeit(add, p, q)
-    configs["sol_g1_add_ops_per_s"] = round(B / dt)
+
+    from snark_verifier_tpu.ops.curve import _g1_add_xla
+
+    dt = timeit_chain(lambda c: (_g1_add_xla(c[0], c[1]), c[0]), (p, q))
+    configs["sol_g1_add_ops_per_s"] = round(B * K / dt)
 
     from snark_verifier_tpu import config as cfg
 
     if cfg.use_pallas():
         from snark_verifier_tpu.ops import curve_pallas as CP
 
-        addp = jax.jit(CP.g1_add_pallas)
-        dt, _ = timeit(addp, p, q)
-        configs["sol_g1_add_pallas_ops_per_s"] = round(B / dt)
+        dt = timeit_chain(lambda c: (CP.g1_add_pallas(c[0], c[1]), c[0]), (p, q))
+        configs["sol_g1_add_pallas_ops_per_s"] = round(B * K / dt)
 
     from snark_verifier_tpu.ops import poseidon as POS
     from snark_verifier_tpu.util.poseidon import default_spec
@@ -255,9 +264,8 @@ def _sol_bench(configs):
     )
     state = jnp.tile(state, (max(1, B // 16384), 1, 1))
     nperm = state.shape[0]
-    perm = jax.jit(lambda s: POS.permutation(spec, s, []))
-    dt, _ = timeit(perm, state)
-    configs["sol_poseidon_perm_per_s"] = round(nperm / dt)
+    dt = timeit_chain(lambda s: POS.permutation(spec, s, []), state)
+    configs["sol_poseidon_perm_per_s"] = round(nperm * K / dt)
 
     from snark_verifier_tpu.ops import keccak as KEC
 
@@ -266,9 +274,8 @@ def _sol_bench(configs):
         .randint(0, 1 << 31, size=(nperm, 25, 2))
         .astype(np.uint32)
     )
-    kf = jax.jit(KEC.keccak_f)
-    dt, _ = timeit(kf, lanes)
-    configs["sol_keccak_f_per_s"] = round(nperm / dt)
+    dt = timeit_chain(KEC.keccak_f, lanes)
+    configs["sol_keccak_f_per_s"] = round(nperm * K / dt)
 
     _detail({k: v for k, v in configs.items() if k.startswith("sol_")})
 

@@ -111,14 +111,30 @@ def _mul_b3(t):
     return _add(t8, t)
 
 
+def _pallas_worthwhile(*coords) -> bool:
+    """The fused Pallas kernels pad the lane axis to a fixed 32768 tier
+    (mosaic recompiles per shape, ops/field_pallas.py); below ~1/4 of the
+    tier the padding waste loses to XLA's shape-exact fusion."""
+    from snark_verifier_tpu.ops.field_pallas import FIXED_TOTAL
+
+    lanes = 1
+    for c in coords:
+        n = 1
+        for d in c.shape[:-1]:
+            n *= d
+        lanes = max(lanes, n)
+    return lanes >= FIXED_TOTAL // 4
+
+
 def g1_add(p: G1, q: G1) -> G1:
     """Complete projective addition, RCB15 algorithm 7 (a=0, b3=9).
 
-    Routes to the fused Pallas kernel on TPU backends (config.use_pallas);
-    the XLA composition below is the bit-exact reference path."""
+    Routes to the fused Pallas kernel on TPU backends (config.use_pallas)
+    at tier-filling batch sizes; the XLA composition below is the bit-exact
+    reference path."""
     from snark_verifier_tpu.config import use_pallas
 
-    if use_pallas():
+    if use_pallas() and _pallas_worthwhile(p.x, q.x):
         from snark_verifier_tpu.ops.curve_pallas import g1_add_pallas
 
         return g1_add_pallas(p, q)
@@ -177,7 +193,7 @@ def g1_double(p: G1) -> G1:
     """Complete projective doubling, RCB15 algorithm 9 (a=0, b3=9)."""
     from snark_verifier_tpu.config import use_pallas
 
-    if use_pallas():
+    if use_pallas() and _pallas_worthwhile(p.x):
         from snark_verifier_tpu.ops.curve_pallas import g1_double_pallas
 
         return g1_double_pallas(p)

@@ -137,57 +137,98 @@ def scalar_mul(point: G1, scalar_canon) -> G1:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def msm_serial(points: G1, scalars_canon, window: int = 8) -> G1:
-    """One large MSM over N points, Pippenger with 2^w buckets per window.
+    """One large MSM over N points: window-parallel Pippenger with a
+    segmented pairwise TREE reduction for the bucket accumulation
+    (semantics of util/msm.rs:259-343; layout re-designed for the VPU).
 
-    Per window (MSB-first, w doublings between windows):
-      1. extract w-bit digits for all scalars,
-      2. sort points by digit (argsort on the u32 key, one gather),
-      3. bucket sums via a *segmented* inclusive associative scan with the
-         point-add monoid (log2 N levels of vectorized adds),
-      4. scatter each digit-run's final sum into its bucket,
-      5. aggregate sum_b b*S_b with a reverse (suffix) associative scan.
-
-    This is the TPU replacement for the scatter/atomic bucket accumulation a
-    GPU Pippenger uses, mirroring the semantics of util/msm.rs:259-343.
+    All ceil(256/w) windows are one leading batch axis, so the whole MSM is
+    ~log2(N) wide vector steps instead of nwin sequential window passes:
+      1. per-window w-bit digits, per-window argsort of the shared points,
+      2. bucket sums by a pairwise tree reduce over the sorted digit runs —
+         each level pairs adjacent elements, merges same-digit pairs, and
+         flushes completed run sums into the bucket array (the flush
+         targets are disjoint within a level, so a plain scatter works);
+         total add work ~2N per window vs N*log2(N) for the previous
+         Hillis-Steele prefix scan,
+      3. per-window weighted bucket aggregation (suffix scan over buckets),
+      4. Horner combine across windows (w doublings + 1 add per window).
     """
-    n = points.x.shape[0]
+    n_orig = points.x.shape[0]
     nbuckets = 1 << window
     nwin = (NLIMB * LIMB_BITS + window - 1) // window
 
-    digits = _window_digits(scalars_canon, window, nwin, nbuckets)  # (n, nwin)
-    digits_t = jnp.moveaxis(digits, -1, 0)[::-1]  # (nwin, n) MSB-first
+    # pad N to a power of two with identity points / zero digits
+    n = 1 << max(0, (n_orig - 1)).bit_length()
+    digits = _window_digits(scalars_canon, window, nwin, nbuckets)  # (n0, nwin)
+    dig = jnp.zeros((nwin, n), jnp.uint32).at[:, :n_orig].set(digits.T)
+    ident_n = C.g1_identity((n,))
+    pts_pad = G1(
+        ident_n.x.at[:n_orig].set(points.x),
+        ident_n.y.at[:n_orig].set(points.y),
+        ident_n.z.at[:n_orig].set(points.z),
+    )
 
-    def window_step(acc: G1, dig):
-        acc = _double_n(acc, window)
-        order = jnp.argsort(dig)
-        sdig = dig[order]
-        pts = G1(points.x[order], points.y[order], points.z[order])
-        pts = C.g1_select(sdig == 0, C.g1_identity((n,)), pts)
-        # segmented inclusive scan: each position ends up holding the sum of
-        # its digit-run prefix; the last position of a run holds the bucket.
-        seg_start = jnp.concatenate(
-            [jnp.ones((1,), bool), sdig[1:] != sdig[:-1]]
-        ).astype(jnp.uint32)
+    order = jnp.argsort(dig, axis=1)  # (nwin, n)
+    seg = jnp.take_along_axis(dig, order, axis=1).astype(jnp.int32)
+    cur = G1(pts_pad.x[order], pts_pad.y[order], pts_pad.z[order])
+    ident_cur = C.g1_identity((nwin, n))
+    cur = C.g1_select(seg == 0, ident_cur, cur)
 
-        bx, by, bz = _segmented_inclusive_scan(pts, seg_start)
-        run_end = jnp.concatenate([sdig[1:] != sdig[:-1], jnp.ones((1,), bool)])
-        # scatter run-end sums to buckets (one run per digit -> disjoint)
-        tgt = jnp.where(run_end, sdig.astype(jnp.int32), nbuckets)
-        # empty buckets must be the valid identity (0 : 1 : 0) — an all-zero
-        # (0:0:0) triple is not a curve point and poisons the RCB formulas.
-        ident = C.g1_identity((nbuckets + 1,))
-        buckets = G1(
-            ident.x.at[tgt].set(bx, mode="drop")[:nbuckets],
-            ident.y.at[tgt].set(by, mode="drop")[:nbuckets],
-            ident.z.at[tgt].set(bz, mode="drop")[:nbuckets],
+    buckets = C.g1_identity((nwin, nbuckets))
+    rows = jnp.arange(nwin, dtype=jnp.int32)[:, None]
+
+    def flush_into(buckets, flush: G1, tgt):
+        # disjoint within a level; sentinel (tgt >= nbuckets) entries are
+        # remapped out of range so mode="drop" discards them
+        flat = jnp.where(
+            tgt >= nbuckets, nwin * nbuckets, rows * nbuckets + tgt
+        ).reshape(-1)
+        ident = C.g1_identity((nwin * nbuckets,))
+        scat = G1(
+            ident.x.at[flat].set(flush.x.reshape(-1, NLIMB), mode="drop"),
+            ident.y.at[flat].set(flush.y.reshape(-1, NLIMB), mode="drop"),
+            ident.z.at[flat].set(flush.z.reshape(-1, NLIMB), mode="drop"),
         )
-        suffix = _g1_suffix_scan(buckets)
-        # sum_b b * S_b = sum_{b >= 1} suffix_b
-        total = C.g1_tree_sum(G1(suffix.x[1:], suffix.y[1:], suffix.z[1:]))
-        return C.g1_add(acc, total), None
+        scat = G1(
+            scat.x.reshape(nwin, nbuckets, NLIMB),
+            scat.y.reshape(nwin, nbuckets, NLIMB),
+            scat.z.reshape(nwin, nbuckets, NLIMB),
+        )
+        return C.g1_add(buckets, scat)
+
+    m = n
+    while m > 1:
+        even = G1(cur.x[:, 0::2], cur.y[:, 0::2], cur.z[:, 0::2])
+        odd = G1(cur.x[:, 1::2], cur.y[:, 1::2], cur.z[:, 1::2])
+        seg_e, seg_o = seg[:, 0::2], seg[:, 1::2]
+        same = seg_e == seg_o
+        merged = C.g1_add(even, odd)
+        cur = C.g1_select(same, merged, odd)
+        # a pair crossing a run boundary completes seg_e's run: flush it
+        tgt = jnp.where(same, nbuckets, seg_e)  # nbuckets = dropped sentinel
+        buckets = flush_into(buckets, even, tgt)
+        seg = seg_o
+        m //= 2
+
+    buckets = flush_into(buckets, cur, seg)  # the last surviving run per row
+
+    # weighted bucket aggregation: sum_b b*S_b = sum_{b>=1} suffix_b
+    suffix = _g1_suffix_scan(
+        G1(
+            jnp.moveaxis(buckets.x, 1, 0),
+            jnp.moveaxis(buckets.y, 1, 0),
+            jnp.moveaxis(buckets.z, 1, 0),
+        )
+    )  # (nbuckets, nwin, 16)
+    totals = C.g1_tree_sum(G1(suffix.x[1:], suffix.y[1:], suffix.z[1:]))  # (nwin,)
+
+    def horner(acc: G1, w):
+        acc = _double_n(acc, window)
+        t = G1(totals.x[w], totals.y[w], totals.z[w])
+        return C.g1_add(acc, t), None
 
     acc0 = C.g1_identity(())
-    acc, _ = jax.lax.scan(window_step, acc0, digits_t)
+    acc, _ = jax.lax.scan(horner, acc0, jnp.arange(nwin - 1, -1, -1))
     return acc
 
 

@@ -127,7 +127,8 @@ def build_batch_decider(dk):
     from snark_verifier_tpu.ops import pairing as PAIR
     from snark_verifier_tpu.ops.curve import G1
 
-    def decide_fn(lhs_x, lhs_y, rhs_x, rhs_y, fold_scalars):
+    @jax.jit
+    def _fold_stage(lhs_x, lhs_y, rhs_x, rhs_y, fold_scalars):
         def to_g1(cx, cy):
             xm = F.to_mont(cx, F.FQ)
             ym = F.to_mont(cy, F.FQ)
@@ -139,6 +140,12 @@ def build_batch_decider(dk):
 
         lhs = MSM.msm_serial(to_g1(lhs_x, lhs_y), fold_scalars)
         rhs = MSM.msm_serial(to_g1(rhs_x, rhs_y), fold_scalars)
+        return lhs, rhs
+
+    def decide_fn(lhs_x, lhs_y, rhs_x, rhs_y, fold_scalars):
+        # fold jitted as one stage; the pairing stays deliberately staged
+        # (never wrap kzg_pairing_check in an outer jit — CLAUDE.md)
+        lhs, rhs = _fold_stage(lhs_x, lhs_y, rhs_x, rhs_y, fold_scalars)
         lhs = G1(lhs.x[None], lhs.y[None], lhs.z[None])
         rhs = G1(rhs.x[None], rhs.y[None], rhs.z[None])
         return PAIR.kzg_pairing_check(lhs, rhs, dk.g2, dk.s_g2)[0]
