@@ -268,3 +268,180 @@ void bn254_msm(const u64 *scalars, const u64 *points, size_t n, u64 *out) {
     std::memcpy(out + 8, zc.l, 32);
 }
 }
+
+// ---------------------------------------------------------------------------
+// Scalar field Fr + radix-2 NTT: the host prover's FFT hot loop
+// (util/poly.py ntt/intt/coset_eval/coset_interp route here when available).
+// Same CIOS Montgomery core as Fe above, with Fr constants.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static const Fe FR_P = {{0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                         0xb85045b68181585dULL, 0x30644e72e131a029ULL}};
+static const u64 FR_N0 = 0xc2e1f593efffffffULL;  // -r^-1 mod 2^64
+static const Fe FR_R2 = {{0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL,
+                          0x8c49833d53bb8085ULL, 0x0216d0b17f4e44a5ULL}};
+static const Fe FR_ONE_M = {{0xac96341c4ffffffbULL, 0x36fc76959f60cd29ULL,
+                             0x666ea36f7879462eULL, 0x0e0a77c19a07df2fULL}};
+
+inline void fr_sub_inner(Fe &out, const Fe &a, const Fe &b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a.l[i] - b.l[i] - borrow;
+        out.l[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+inline bool fr_gte(const Fe &a, const Fe &b) {
+    for (int i = 3; i >= 0; --i) {
+        if (a.l[i] != b.l[i]) return a.l[i] > b.l[i];
+    }
+    return true;
+}
+
+inline void fr_add(Fe &out, const Fe &a, const Fe &b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a.l[i] + b.l[i] + carry;
+        out.l[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fr_gte(out, FR_P)) fr_sub_inner(out, out, FR_P);
+}
+
+inline void fr_sub(Fe &out, const Fe &a, const Fe &b) {
+    if (fr_gte(a, b)) {
+        fr_sub_inner(out, a, b);
+    } else {
+        Fe t;
+        fr_sub_inner(t, b, a);
+        fr_sub_inner(out, FR_P, t);
+    }
+}
+
+inline void fr_mul(Fe &out, const Fe &a, const Fe &b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; ++j) {
+            u128 s = (u128)t[j] + (u128)a.l[i] * b.l[j] + carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[4] + carry;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+
+        u64 m = t[0] * FR_N0;
+        carry = ((u128)t[0] + (u128)m * FR_P.l[0]) >> 64;
+        for (int j = 1; j < 4; ++j) {
+            u128 s2 = (u128)t[j] + (u128)m * FR_P.l[j] + carry;
+            t[j - 1] = (u64)s2;
+            carry = s2 >> 64;
+        }
+        s = (u128)t[4] + carry;
+        t[3] = (u64)s;
+        t[4] = t[5] + (u64)(s >> 64);
+        t[5] = 0;
+    }
+    Fe r = {{t[0], t[1], t[2], t[3]}};
+    if (t[4] || fr_gte(r, FR_P)) fr_sub_inner(r, r, FR_P);
+    out = r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place NTT of size 2^logn over Fr.  vals: n*4 canonical LE u64 limbs.
+// omega: canonical primitive 2^logn-th root (caller passes omega^-1 for the
+// inverse transform); scale: canonical factor applied to every output
+// (n^-1 for the inverse transform, 1 otherwise).
+void bn254_fr_ntt(u64 *vals, u64 logn, const u64 *omega_can,
+                  const u64 *scale_can) {
+    const size_t n = (size_t)1 << logn;
+    std::vector<Fe> v(n);
+    for (size_t i = 0; i < n; ++i) {
+        Fe raw = {{vals[4 * i], vals[4 * i + 1], vals[4 * i + 2], vals[4 * i + 3]}};
+        fr_mul(v[i], raw, FR_R2);  // to Montgomery
+    }
+
+    // bit-reversal permutation
+    for (size_t i = 1, j = 0; i < n; ++i) {
+        size_t bit = n >> 1;
+        for (; j & bit; bit >>= 1) j ^= bit;
+        j ^= bit;
+        if (i < j) { Fe t = v[i]; v[i] = v[j]; v[j] = t; }
+    }
+
+    // precomputed twiddle table tw[j] = omega^j, j < n/2; stage s indexes it
+    // with stride n/2^s (halves the muls vs updating w inside the loop)
+    Fe omega_m;
+    {
+        Fe raw = {{omega_can[0], omega_can[1], omega_can[2], omega_can[3]}};
+        fr_mul(omega_m, raw, FR_R2);
+    }
+    const size_t halfn = n >> 1;
+    std::vector<Fe> tw(halfn ? halfn : 1);
+    tw[0] = FR_ONE_M;
+    for (size_t j = 1; j < halfn; ++j) fr_mul(tw[j], tw[j - 1], omega_m);
+
+    for (size_t s = 1; s <= logn; ++s) {
+        const size_t len = (size_t)1 << s;
+        const size_t half = len >> 1;
+        const size_t stride = n >> s;
+        for (size_t i = 0; i < n; i += len) {
+            for (size_t j = 0; j < half; ++j) {
+                Fe u = v[i + j], t;
+                fr_mul(t, v[i + j + half], tw[j * stride]);
+                fr_add(v[i + j], u, t);
+                fr_sub(v[i + j + half], u, t);
+            }
+        }
+    }
+
+    Fe scale_m;
+    {
+        Fe raw = {{scale_can[0], scale_can[1], scale_can[2], scale_can[3]}};
+        fr_mul(scale_m, raw, FR_R2);
+    }
+    const Fe one_raw = {{1, 0, 0, 0}};
+    for (size_t i = 0; i < n; ++i) {
+        fr_mul(v[i], v[i], scale_m);
+        Fe out_c;
+        fr_mul(out_c, v[i], one_raw);  // out of Montgomery
+        vals[4 * i] = out_c.l[0];
+        vals[4 * i + 1] = out_c.l[1];
+        vals[4 * i + 2] = out_c.l[2];
+        vals[4 * i + 3] = out_c.l[3];
+    }
+}
+
+// Element-wise vals[i] *= base^i (canonical in/out) — the coset scaling in
+// coset_eval/coset_interp (util/poly.py:61-86).
+void bn254_fr_powmul(u64 *vals, u64 n, const u64 *base_can) {
+    Fe base_m;
+    {
+        Fe raw = {{base_can[0], base_can[1], base_can[2], base_can[3]}};
+        fr_mul(base_m, raw, FR_R2);
+    }
+    Fe acc = FR_ONE_M;
+    const Fe one_raw = {{1, 0, 0, 0}};
+    for (u64 i = 0; i < n; ++i) {
+        Fe raw = {{vals[4 * i], vals[4 * i + 1], vals[4 * i + 2], vals[4 * i + 3]}};
+        Fe vm;
+        fr_mul(vm, raw, FR_R2);
+        fr_mul(vm, vm, acc);
+        Fe out_c;
+        fr_mul(out_c, vm, one_raw);
+        vals[4 * i] = out_c.l[0];
+        vals[4 * i + 1] = out_c.l[1];
+        vals[4 * i + 2] = out_c.l[2];
+        vals[4 * i + 3] = out_c.l[3];
+        fr_mul(acc, acc, base_m);
+    }
+}
+
+}  // extern "C"

@@ -51,6 +51,19 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint64),
             ]
             lib.bn254_msm.restype = None
+            lib.bn254_fr_ntt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.bn254_fr_ntt.restype = None
+            lib.bn254_fr_powmul.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.bn254_fr_powmul.restype = None
             _lib = lib
         except Exception:
             _lib = None
@@ -93,3 +106,55 @@ def msm(scalars, points):
     y = sum(int(out[4 + i]) << (64 * i) for i in range(4))
     z = sum(int(out[8 + i]) << (64 * i) for i in range(4))
     return bn254._from_jac((x, y, z) if z else None)
+
+
+def _ints_to_u64(values) -> np.ndarray:
+    buf = b"".join(int(v).to_bytes(32, "little") for v in values)
+    return np.frombuffer(buf, np.uint64).reshape(len(values), 4).copy()
+
+
+def _u64_to_ints(arr: np.ndarray) -> list:
+    raw = arr.tobytes()
+    return [
+        int.from_bytes(raw[32 * i : 32 * (i + 1)], "little")
+        for i in range(arr.shape[0])
+    ]
+
+
+def _quad(value: int) -> np.ndarray:
+    return np.frombuffer(int(value).to_bytes(32, "little"), np.uint64).copy()
+
+
+def fr_ntt(values, omega: int, scale: int = 1) -> list:
+    """Native in-place radix-2 NTT over Fr; values/omega/scale canonical
+    ints; the caller passes omega^-1 and n^-1 as scale for the inverse."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native bn254 library unavailable")
+    n = len(values)
+    assert n & (n - 1) == 0 and n > 0
+    arr = _ints_to_u64(values)
+    om = _quad(omega)
+    sc = _quad(scale)
+    lib.bn254_fr_ntt(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_uint64(n.bit_length() - 1),
+        om.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return _u64_to_ints(arr)
+
+
+def fr_powmul(values, base: int) -> list:
+    """Native element-wise values[i] * base^i (coset scaling)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native bn254 library unavailable")
+    arr = _ints_to_u64(values)
+    b = _quad(base)
+    lib.bn254_fr_powmul(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_uint64(len(values)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return _u64_to_ints(arr)

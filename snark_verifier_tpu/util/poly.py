@@ -14,14 +14,38 @@ from snark_verifier_tpu.util import bn254
 R = bn254.R
 
 
+def _native_ntt_ok(n, modulus):
+    import os
+
+    if modulus != R or n < 64 or n & (n - 1):
+        return False
+    if os.environ.get("SVTPU_NATIVE", "1") == "0":
+        return False
+    from snark_verifier_tpu.util import native_ec
+
+    return native_ec.available()
+
+
 def ntt(values, omega, modulus=R):
-    """In-place-free radix-2 Cooley–Tukey NTT; len(values) power of two."""
+    """Radix-2 Cooley–Tukey NTT; len(values) power of two.  Routes to the
+    native C++ kernel (native/bn254_native.cpp bn254_fr_ntt) for BN254 Fr —
+    the host prover's FFT hot loop — with this python path as the
+    oracle-of-record (cross-checked in tests/test_native_ec.py)."""
+    n = len(values)
+    if _native_ntt_ok(n, modulus):
+        from snark_verifier_tpu.util import native_ec
+
+        return native_ec.fr_ntt(values, omega % modulus, 1)
+    return _ntt_py(values, omega, modulus)
+
+
+def _ntt_py(values, omega, modulus=R):
     n = len(values)
     if n == 1:
         return list(values)
     assert n & (n - 1) == 0
-    even = ntt(values[0::2], omega * omega % modulus, modulus)
-    odd = ntt(values[1::2], omega * omega % modulus, modulus)
+    even = _ntt_py(values[0::2], omega * omega % modulus, modulus)
+    odd = _ntt_py(values[1::2], omega * omega % modulus, modulus)
     out = [0] * n
     w = 1
     for i in range(n // 2):
@@ -34,7 +58,13 @@ def ntt(values, omega, modulus=R):
 
 def intt(values, omega, modulus=R):
     n = len(values)
-    out = ntt(values, bn254.inv_mod(omega, modulus), modulus)
+    if _native_ntt_ok(n, modulus):
+        from snark_verifier_tpu.util import native_ec
+
+        return native_ec.fr_ntt(
+            values, bn254.inv_mod(omega, modulus), bn254.inv_mod(n, modulus)
+        )
+    out = _ntt_py(values, bn254.inv_mod(omega, modulus), modulus)
     n_inv = bn254.inv_mod(n, modulus)
     return [v * n_inv % modulus for v in out]
 
@@ -58,16 +88,25 @@ def eval_poly(coeffs, x, modulus=R):
     return acc
 
 
+def _powmul(values, base, modulus=R):
+    """values[i] * base^i; native when available."""
+    if _native_ntt_ok(len(values), modulus):
+        from snark_verifier_tpu.util import native_ec
+
+        return native_ec.fr_powmul(values, base % modulus)
+    out = []
+    g = 1
+    for c in values:
+        out.append(c * g % modulus)
+        g = g * base % modulus
+    return out
+
+
 def coset_eval(coeffs, extended_k, coset_gen, modulus=R):
     """Evaluate on the coset {coset_gen * w_ext^i} of size 2^extended_k."""
     n_ext = 1 << extended_k
     padded = list(coeffs) + [0] * (n_ext - len(coeffs))
-    # scale by coset_gen^i then NTT
-    scaled = []
-    g = 1
-    for c in padded:
-        scaled.append(c * g % modulus)
-        g = g * coset_gen % modulus
+    scaled = _powmul(padded, coset_gen, modulus)
     omega_ext = bn254.root_of_unity(extended_k)
     return ntt(scaled, omega_ext)
 
@@ -76,13 +115,7 @@ def coset_interp(values, extended_k, coset_gen, modulus=R):
     """Inverse of coset_eval: values on the coset -> coefficients."""
     omega_ext = bn254.root_of_unity(extended_k)
     scaled = intt(values, omega_ext)
-    g_inv = bn254.inv_mod(coset_gen, modulus)
-    out = []
-    g = 1
-    for c in scaled:
-        out.append(c * g % modulus)
-        g = g * g_inv % modulus
-    return out
+    return _powmul(scaled, bn254.inv_mod(coset_gen, modulus), modulus)
 
 
 def poly_add(a, b, modulus=R):
