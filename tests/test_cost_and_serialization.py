@@ -123,3 +123,35 @@ def test_golden_reference_serde_layout():
 
     # round trip: our serializer reproduces the reference layout byte-for-byte
     assert protocol_to_json(p) == doc
+
+
+def test_pk_serialization_roundtrip():
+    """system/halo2/keys.py: pk -> JSON -> pk produces byte-identical proofs
+    across plain / zk / lookup proving keys (SDK key-management parity,
+    snark-verifier-sdk/src/lib.rs:127-224)."""
+    import json
+    import random
+
+    from snark_verifier_tpu.system.halo2.circuits import (
+        build_lookup_plonk,
+        build_standard_plonk,
+    )
+    from snark_verifier_tpu.system.halo2.keys import pk_from_json, pk_to_json
+    from snark_verifier_tpu.system.halo2.prover import create_proof
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+
+    srs = gen_srs(4)
+    cases = [
+        (build_standard_plonk, {}),
+        (build_standard_plonk, {"zk": True}),
+        (build_lookup_plonk, {}),
+    ]
+    for build, kwargs in cases:
+        protocol, pk = build(4, srs, **kwargs)
+        obj = json.loads(json.dumps(pk_to_json(pk)))
+        pk2 = pk_from_json(obj, srs, pk.synthesize)
+        rng1 = random.Random(7) if kwargs.get("zk") else None
+        rng2 = random.Random(7) if kwargs.get("zk") else None
+        assert create_proof(pk, [[99]], "gwc", rng=rng1) == create_proof(
+            pk2, [[99]], "gwc", rng=rng2
+        )

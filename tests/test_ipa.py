@@ -187,3 +187,37 @@ def test_ipa_round_trip_pallas():
             loader.load_const((v + 1) % r),
             proof,
         )
+
+
+def test_ipa_single_strategy():
+    """system/halo2/strategy.py IpaSingleStrategy: verify-and-decide one
+    proof, returning the synthetic g commitment (strategy.rs:24-57)."""
+    from snark_verifier_tpu.system.halo2.strategy import IpaSingleStrategy
+
+    pk = IpaProvingKey.rand(K, False, seed=9)
+    c, z, v, proof_bytes = _make_proof(pk, False)
+    loader = NativeLoader()
+    svk = pk.svk()
+    strategy = IpaSingleStrategy(pk.dk())
+
+    def verify():
+        transcript = NativeEvmTranscript(proof_bytes, loader)
+        proof = Ipa.read_proof(svk, transcript)
+        return Ipa.succinct_verify(
+            svk, Msm.base(EcPoint(loader, c)), loader.load_const(z),
+            loader.load_const(v), proof,
+        )
+
+    g = strategy.process(verify)
+    assert bn.g1_is_on_curve(g)
+
+    def verify_wrong():
+        transcript = NativeEvmTranscript(proof_bytes, loader)
+        proof = Ipa.read_proof(svk, transcript)
+        return Ipa.succinct_verify(
+            svk, Msm.base(EcPoint(loader, c)), loader.load_const(z),
+            loader.load_const((v + 1) % bn.R), proof,
+        )
+
+    with pytest.raises(AssertionFailure):
+        strategy.process(verify_wrong)
