@@ -305,7 +305,7 @@ def build_fibonacci(k: int, srs: Srs):
     return protocol, pk
 
 
-def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
+def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4, zk: bool = False):
     """StandardPlonk extended with a 2-expression range-square lookup:
       (q_range * a, q_range * b) IN (TABLE_V, TABLE_SQ)
     where TABLE rows are (v, v^2) for v in 0..2^range_bits-1 (plus (0, 0)
@@ -313,7 +313,7 @@ def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
     compression, permuted columns, grand product — alongside the gate and
     permutation arguments, mirroring the reference's MainGateWithRange role
     (system/halo2/test/circuit/maingate.rs:15-113; constraint shapes per
-    system/halo2.rs:662-727 with zk=false).
+    system/halo2.rs:662-727, both zk branches).
     """
     assert (1 << k) >= (1 << range_bits) and k >= 4
     domain = Domain.new(k)
@@ -328,7 +328,8 @@ def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
     A_PERM, S_PERM = 15, 16  # lookup permuted input / table
     Z = 17  # permutation grand product
     Z_LK = 18  # lookup grand product
-    QUOT = 19
+    RAND = 19 if zk else None
+    QUOT = 20 if zk else 19
 
     P = lambda idx, rot=0: Polynomial(Query.new(idx, rot))
     theta, beta, gamma, alpha = Challenge(0), Challenge(1), Challenge(2), Challenge(3)
@@ -359,7 +360,7 @@ def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
         delta_pow = delta_pow * DELTA % bn254.R
     perm_main = left - right
 
-    # lookup constraints (system/halo2.rs:662-727, zk=false)
+    # lookup constraints (system/halo2.rs:662-727)
     input_exprs = (P(Q_RANGE) * P(A), P(Q_RANGE) * P(B))
     table_exprs = (P(TABLE_V), P(TABLE_SQ))
     compressed_input = DistributePowers(input_exprs, theta)
@@ -370,15 +371,36 @@ def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
     ) * (compressed_table + gamma)
     lk_perm = (P(A_PERM) - P(S_PERM)) * (P(A_PERM) - P(A_PERM, -1))
 
-    numerator = DistributePowers(
-        (gate, perm_l0, perm_main, lk_l0, lk_main, lk_perm), alpha
-    )
-    degree = numerator.degree()  # 5 (z * compressed_input * compressed_table)
+    if zk:
+        rot_last = -(BLINDING + 1)
+        l_last = CommonLagrange(rot_last)
+        l_blind = None
+        for j in range(rot_last + 1, 0):
+            term = CommonLagrange(j)
+            l_blind = term if l_blind is None else l_blind + term
+        l_active = one - l_last - l_blind
+        constraints = (
+            gate,
+            perm_l0,
+            l_last * (P(Z) * P(Z) - P(Z)),
+            l_active * perm_main,
+            lk_l0,
+            l_last * (P(Z_LK) * P(Z_LK) - P(Z_LK)),
+            l_active * lk_main,
+            l_0 * (P(A_PERM) - P(S_PERM)),
+            l_active * lk_perm,
+        )
+    else:
+        constraints = (gate, perm_l0, perm_main, lk_l0, lk_main, lk_perm)
+
+    numerator = DistributePowers(constraints, alpha)
+    degree = numerator.degree()  # 5 (zk: 6)
     num_chunk = degree - 1
 
     evaluations = (
         [Query.new(A), Query.new(B), Query.new(C)]
         + [Query.new(i) for i in range(8)]
+        + ([Query.new(RAND)] if zk else [])
         + [Query.new(i) for i in (S_A, S_B, S_C)]
         + [Query.new(Z), Query.new(Z, 1)]
         + [
@@ -402,6 +424,7 @@ def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
         + [Query.new(i) for i in range(8)]
         + [Query.new(i) for i in (S_A, S_B, S_C)]
         + [Query.new(QUOT)]
+        + ([Query.new(RAND)] if zk else [])
     )
 
     # ---- fixed assignments -------------------------------------------------
@@ -431,14 +454,17 @@ def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
         domain=domain,
         preprocessed=preprocessed,
         num_instance=[1],
-        num_witness=[3, 2, 2],
+        num_witness=[3, 2, 3 if zk else 2],
         num_challenge=[1, 2, 1],
         evaluations=evaluations,
         queries=queries,
         quotient=QuotientPolynomial(1, num_chunk, numerator),
         transcript_initial_state=(
             int.from_bytes(
-                keccak256(f"svtpu-lookup-plonk-k{k}-r{range_bits}".encode()), "big"
+                keccak256(
+                    f"svtpu-lookup-plonk{'-zk' if zk else ''}-k{k}-r{range_bits}".encode()
+                ),
+                "big",
             )
             % bn254.R
         ),
@@ -466,11 +492,17 @@ def build_lookup_plonk(k: int, srs: Srs, range_bits: int = 4):
         permutation=PermutationInfo(
             columns=perm_cols, sigma_polys=[S_A, S_B, S_C], chunk=3
         ),
-        advice_phases=[[A, B, C], [A_PERM, S_PERM], [Z, Z_LK]],
+        advice_phases=[
+            [A, B, C],
+            [A_PERM, S_PERM],
+            [Z, Z_LK, RAND] if zk else [Z, Z_LK],
+        ],
         z_polys=[Z],
         instance_polys=[INSTANCE],
         synthesize=synthesize,
-        extended_k=k + 3,  # degree-5 numerator needs 8n evaluation points
+        extended_k=k + 3,  # degree-5/6 numerator needs 8n evaluation points
+        zk_blinding=BLINDING if zk else 0,
+        random_poly=RAND,
         lookups=[
             LookupInfo(
                 input_exprs=list(input_exprs),

@@ -71,10 +71,11 @@ def create_proof(
     if zk_b:
         # blind rows u+1..n-1 of every plain advice column (u = n-B-1 is the
         # l_last row; gates hold there because selectors vanish, and the
-        # permutation is masked by l_active)
-        assert not (getattr(pk, "lookups", None)), "zk+lookups not wired yet"
+        # permutation/lookup arguments are masked by l_active)
         u = n - zk_b - 1
         special = set(pk.z_polys) | {getattr(pk, "random_poly", None)}
+        for lk in getattr(pk, "lookups", None) or []:
+            special |= {lk.permuted_input_poly, lk.permuted_table_poly, lk.z_poly}
         for phase_polys in pk.advice_phases:
             for idx in phase_polys:
                 if idx not in special:
@@ -114,7 +115,7 @@ def create_proof(
             elif idx in lookup_value_polys:
                 role, lk = lookup_value_polys[idx]
                 _materialize_lookup(
-                    lk, role, pk, values, challenges, allow_unsatisfied
+                    lk, role, pk, values, challenges, allow_unsatisfied, rng=rng
                 )
             transcript.write_ec_point(EcPoint(loader, commit_poly(idx)))
         challenges.extend(s.value for s in transcript.squeeze_n_challenges(n_chal))
@@ -256,9 +257,9 @@ def _compress(exprs, theta, values, challenges, n):
 
 
 def _lookup_permute(a_c, s_c, allow_unsatisfied):
-    """halo2's permute step: sort the compressed input; the permuted table
-    pins each first occurrence (so a'[i] == s'[i] there) and fills repeats
-    (where a'[i] == a'[i-1]) with leftover table values."""
+    """halo2's permute step over the given rows: sort the compressed input;
+    the permuted table pins each first occurrence (so a'[i] == s'[i] there)
+    and fills repeats (where a'[i] == a'[i-1]) with leftover table values."""
     from collections import Counter
 
     n = len(a_c)
@@ -279,17 +280,29 @@ def _lookup_permute(a_c, s_c, allow_unsatisfied):
     return sorted_input, permuted_table
 
 
-def _materialize_lookup(lk, role, pk, values, challenges, allow_unsatisfied):
+def _materialize_lookup(lk, role, pk, values, challenges, allow_unsatisfied, rng=None):
     """Compute the permuted pair (after theta) or the grand product z (after
-    beta/gamma) for one lookup, storing results in `values`."""
+    beta/gamma) for one lookup, storing results in `values`.
+
+    zk (pk.zk_blinding > 0): the permute/product run over the active rows
+    0..u-1 only (u = n-B-1); the tail rows are random and the protocol's
+    l_last/l_active masks cover them (halo2.rs:706-718)."""
     n = pk.protocol.domain.n
+    zk_b = getattr(pk, "zk_blinding", 0)
+    u = n - zk_b - 1 if zk_b else n
+
+    def blind_tail(col):
+        return col + [rng.randrange(R) for _ in range(n - u)]
+
     if role in ("permuted_input", "permuted_table"):
         if lk.permuted_input_poly in values:
             return
         theta = challenges[lk.theta_challenge]
         a_c = _compress(lk.input_exprs, theta, values, challenges, n)
         s_c = _compress(lk.table_exprs, theta, values, challenges, n)
-        a_p, s_p = _lookup_permute(a_c, s_c, allow_unsatisfied)
+        a_p, s_p = _lookup_permute(a_c[:u], s_c[:u], allow_unsatisfied)
+        if zk_b:
+            a_p, s_p = blind_tail(a_p), blind_tail(s_p)
         values[lk.permuted_input_poly] = a_p
         values[lk.permuted_table_poly] = s_p
         values[("lookup_compressed", lk.z_poly)] = (a_c, s_c)
@@ -298,16 +311,21 @@ def _materialize_lookup(lk, role, pk, values, challenges, allow_unsatisfied):
         a_c, s_c = values.pop(("lookup_compressed", lk.z_poly))
         a_p = values[lk.permuted_input_poly]
         s_p = values[lk.permuted_table_poly]
-        num = [(a_c[j] + beta) * (s_c[j] + gamma) % R for j in range(n)]
-        den = [(a_p[j] + beta) * (s_p[j] + gamma) % R for j in range(n)]
+        num = [(a_c[j] + beta) * (s_c[j] + gamma) % R for j in range(u)]
+        den = [(a_p[j] + beta) * (s_p[j] + gamma) % R for j in range(u)]
         den_inv = bn254.batch_inv_mod(den, R)
         z = [1] * n
-        for j in range(1, n):
+        for j in range(1, u):
             z[j] = z[j - 1] * num[j - 1] * den_inv[j - 1] % R
-        if not allow_unsatisfied:
-            assert (
-                z[n - 1] * num[n - 1] * den_inv[n - 1] % R == 1
-            ), "lookup argument unsatisfied"
+        closing = z[u - 1] * num[u - 1] * den_inv[u - 1] % R
+        if zk_b:
+            if not allow_unsatisfied:
+                assert closing == 1, "lookup argument unsatisfied"
+            z[u] = closing if closing == 1 else 0
+            for j in range(u + 1, n):
+                z[j] = rng.randrange(R)
+        elif not allow_unsatisfied:
+            assert closing == 1, "lookup argument unsatisfied"
         values[lk.z_poly] = z
 
 

@@ -105,3 +105,39 @@ def test_zk_rejects_unsatisfied_witness(setup):
     proof = verifier.read_proof(dk, loaded, ins, NativeEvmTranscript(proof_bytes, nat))
     with pytest.raises(AssertionFailure):
         verifier.verify(dk, loaded, ins, proof)
+
+
+def test_zk_lookup_prove_verify_and_reject():
+    """zk + lookup combined (halo2.rs:700-727 zk branch): blinded permuted
+    columns/grand products verify under both multiopens; an out-of-range
+    witness is rejected."""
+    import dataclasses
+
+    from snark_verifier_tpu.system.halo2.circuits import build_lookup_plonk
+
+    srs = gen_srs(5)
+    protocol, pk = build_lookup_plonk(5, srs, zk=True)
+    dk = srs.decider_key()
+    for scheme, As in [("gwc", KzgGwc), ("shplonk", KzgShplonk)]:
+        p1 = create_proof(pk, [[4242]], scheme, rng=random.Random(1))
+        p2 = create_proof(pk, [[4242]], scheme, rng=random.Random(2))
+        assert p1 != p2
+        nat = NativeLoader()
+        verifier = PlonkVerifier(As)
+        loaded = protocol.loaded(nat)
+        ins = [[nat.load_const(4242)]]
+        proof = verifier.read_proof(dk, loaded, ins, NativeEvmTranscript(p1, nat))
+        assert verifier.verify(dk, loaded, ins, proof) is True
+
+    good = pk.synthesize
+    bad_pk = dataclasses.replace(
+        pk, synthesize=lambda ins: good(ins, range_values=(3, 7, 0, 16))
+    )
+    pb = create_proof(bad_pk, [[1]], "gwc", allow_unsatisfied=True, rng=random.Random(0))
+    nat = NativeLoader()
+    verifier = PlonkVerifier(KzgGwc)
+    loaded = protocol.loaded(nat)
+    ins = [[nat.load_const(1)]]
+    proof = verifier.read_proof(dk, loaded, ins, NativeEvmTranscript(pb, nat))
+    with pytest.raises(AssertionFailure):
+        verifier.verify(dk, loaded, ins, proof)
