@@ -76,3 +76,40 @@ def test_reject_mutated_proof(setup):
         transcript = NativeEvmTranscript(bytes(proof_bytes), loader)
         proof = verifier.read_proof(dk, loaded, instances, transcript)
         verifier.verify(dk, loaded, instances, proof)
+
+
+def test_circuit_ext_interface():
+    """sdk/circuit.py CircuitExt (lib.rs:108-125 parity): standard, lookup,
+    and loader-built circuits prove + verify through gen_snark_for."""
+    from snark_verifier_tpu.loader.halo2 import Halo2Loader
+    from snark_verifier_tpu.loader.native import NativeLoader
+    from snark_verifier_tpu.pcs.kzg import KzgGwc
+    from snark_verifier_tpu.sdk.circuit import (
+        BuilderCircuit,
+        LookupPlonkCircuit,
+        StandardPlonkCircuit,
+        gen_snark_for,
+    )
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+    from snark_verifier_tpu.system.halo2.transcript import NativeEvmTranscript
+    from snark_verifier_tpu.verifier.plonk import PlonkVerifier
+
+    srs = gen_srs(5)
+
+    def check(snark):
+        nat = NativeLoader()
+        verifier = PlonkVerifier(KzgGwc)
+        dk = srs.decider_key()
+        loaded = snark.protocol.loaded(nat)
+        ins = [[nat.load_const(v) for v in col] for col in snark.instances]
+        proof = verifier.read_proof(
+            dk, loaded, ins, NativeEvmTranscript(snark.proof, nat)
+        )
+        assert verifier.verify(dk, loaded, ins, proof) is True
+
+    check(gen_snark_for(StandardPlonkCircuit(777), 4, srs, cache_name=None))
+    check(gen_snark_for(LookupPlonkCircuit(55, (1, 2, 3, 4)), 4, srs, cache_name=None))
+    loader = Halo2Loader()
+    a, b = loader.assign_scalar(6), loader.assign_scalar(7)
+    loader.expose_scalar(a * b)
+    check(gen_snark_for(BuilderCircuit(loader.builder, "mul-circuit"), 4, srs, cache_name=None))
