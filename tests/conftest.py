@@ -20,11 +20,32 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import hashlib  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _machine_tag() -> str:
+    """Key the persistent cache by the host's CPU feature set: XLA:CPU AOT
+    artifacts compiled with features the current host lacks SIGILL/segfault
+    on load (observed after a VM migration), so a migrated host must get a
+    fresh cache directory."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nocpuinfo"
+
+
 # Persistent compilation cache makes repeated test runs compile-free.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtpu_cpu")
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_cache_svtpu_cpu_{_machine_tag()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
