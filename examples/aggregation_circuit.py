@@ -9,7 +9,7 @@ single pairing check at the end decides every aggregated proof.
 2. native pre-pass: succinct-verify + fold (aggregate_native),
 3. in-circuit pass: the SAME verification run interpreted by the
    Halo2Loader — every challenge, field op, and MSM becomes a circuit
-   constraint (~17M rows for two snarks, the reference's k=22 scale),
+   constraint (~6.5M rows for two snarks, the reference aggregation scale),
    checked by the StreamingChecker (MockProver analogue),
 4. the exposed instance limbs must match the native pre-pass byte-for-byte,
 5. decide the folded accumulator.

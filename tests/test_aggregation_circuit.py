@@ -2,7 +2,7 @@
 
 Parity: snark-verifier-sdk AggregationCircuit (halo2/aggregation.rs:249-402)
 — the succinct verifier + accumulation fold interpreted by the Halo2Loader.
-The synthesized verifier runs to ~8M rows per snark (reference aggregation
+The synthesized verifier runs to ~3.3M rows per snark (reference aggregation
 circuits are k=21..23, the same scale), so satisfiability is checked by the
 StreamingChecker (MockProver analogue) rather than proven by the pure-python
 host prover; proving-path coverage for loader-built circuits lives in
