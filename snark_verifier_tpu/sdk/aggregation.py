@@ -42,9 +42,12 @@ def aggregate_native(As, svk, snarks, as_pk: KzgAsProvingKey | None = None, rng=
     As: KzgGwc | KzgShplonk; svk: the SRS G1 generator; snarks: [sdk.Snark]
     proved with the Poseidon transcript.
     """
+    from snark_verifier_tpu.util import metrics
+
     loader = NativeLoader()
     verifier = PlonkSuccinctVerifier(As)
 
+    metrics.count("aggregation.native_pre_pass")
     accumulators = []
     for snark in snarks:
         loaded = snark.protocol.loaded(loader)

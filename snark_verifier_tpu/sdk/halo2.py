@@ -49,12 +49,17 @@ def gen_proof(
         if cache_name
         else None
     )
+    from snark_verifier_tpu.util import metrics
+
     if path and os.path.exists(path):
         with open(path, "rb") as f:
             proof = pickle.load(f)
         if _verifies(pk, instances, proof, scheme, transcript_kind):
+            metrics.count("sdk.proof_cache_hit")
             return proof
-    proof = create_proof(pk, instances, scheme, transcript_kind)
+        metrics.count("sdk.proof_cache_stale")
+    with metrics.timer("sdk.create_proof"):
+        proof = create_proof(pk, instances, scheme, transcript_kind)
     if path:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         with open(path, "wb") as f:

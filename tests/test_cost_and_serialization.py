@@ -155,3 +155,23 @@ def test_pk_serialization_roundtrip():
         assert create_proof(pk, [[99]], "gwc", rng=rng1) == create_proof(
             pk2, [[99]], "gwc", rng=rng2
         )
+
+
+def test_metrics_registry():
+    """util/metrics: counters/timers emitted as JSON lines (aux metrics,
+    SURVEY §5)."""
+    import io
+    import json
+
+    from snark_verifier_tpu.util import metrics
+
+    metrics.reset()
+    metrics.count("unit.test", 2)
+    with metrics.timer("unit.timer"):
+        pass
+    buf = io.StringIO()
+    metrics.dump(buf)
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert {"metric": "unit.test", "count": 2} in lines
+    assert any(l["metric"] == "unit.timer" and l["n"] == 1 for l in lines)
+    metrics.reset()
