@@ -248,6 +248,63 @@ class EvmLoader(Loader):
         self.emit(("mstore", ptr + 0x20, ("mload", py)))
         return EcPoint(self, ("mem", ptr, ptr + 0x20))
 
+    def ec_point_from_limbs(self, scalars, limbs: int = 4, bits: int = 68) -> EcPoint:
+        """Recompose an EC point from 2*limbs base-2^bits limb scalars
+        (x limbs low-to-high, then y limbs) and validate it on-curve —
+        the recursion-instance decode (loader/evm/loader.rs:176-214).
+
+        The recomposition is raw EVM add/shl (wrapping mod 2^256, like the
+        reference); validate_ec_point rejects any x, y >= p or off-curve
+        combination a malicious prover could smuggle through the limbs."""
+        assert len(scalars) == 2 * limbs
+        ptr = self.allocate(0x40)
+
+        def combine(ls):
+            e = self._expr(ls[0])
+            for i, s in enumerate(ls[1:], start=1):
+                e = ("add", e, ("shl", bits * i, self._expr(s)))
+            return e
+
+        self.emit(("mstore", ptr, combine(scalars[:limbs])))
+        self.emit(("mstore", ptr + 0x20, combine(scalars[limbs:])))
+        self.emit(("validate_point", ptr, ptr + 0x20))
+        return EcPoint(self, ("mem", ptr, ptr + 0x20))
+
+    def fold_accumulators(self, accumulators):
+        """Random-linear-combine accumulators into one with a keccak-derived
+        challenge, so a single ecPairing decides them all
+        (pcs/kzg/decider.rs:146-185).
+
+        Points are duplicated into one contiguous region [lhs_i | rhs_i]*,
+        the challenge is keccak256 over that region mod r, and the fold is
+        two (len)-term MSMs by its powers."""
+        from snark_verifier_tpu.pcs.kzg.accumulator import KzgAccumulator
+
+        # materialize first so the dup region stays contiguous
+        for acc in accumulators:
+            self._point_ptrs(acc.lhs)
+            self._point_ptrs(acc.rhs)
+        dups = [
+            (self.dup_ec_point(acc.lhs), self.dup_ec_point(acc.rhs))
+            for acc in accumulators
+        ]
+        base = dups[0][0].value[1]
+        hash_ptr = self.keccak256(base, len(accumulators) * 0x80)
+        cptr = self.allocate(0x20)
+        self.emit(("mstore", cptr, ("modr", ("mload", hash_ptr))))
+        challenge = Scalar(self, ("mem", cptr))
+
+        powers = [self.load_const(1)]
+        for _ in range(len(accumulators) - 1):
+            powers.append(self.mul(powers[-1], challenge))
+        lhs = self.multi_scalar_multiplication(
+            [(c, l) for c, (l, _) in zip(powers, dups)]
+        )
+        rhs = self.multi_scalar_multiplication(
+            [(c, r) for c, (_, r) in zip(powers, dups)]
+        )
+        return KzgAccumulator(lhs, rhs)
+
     # -- decider hook (pcs/kzg/decider.py dispatch) ---------------------------
     def decide_pairing(self, accumulator, dk):
         self.pairing(

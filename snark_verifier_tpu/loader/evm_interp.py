@@ -53,6 +53,10 @@ class EvmExecutor:
             return (self.eval(expr[1]) * self.eval(expr[2])) % m
         if tag == "modr":
             return self.eval(expr[1]) % bn254.R
+        if tag == "add":  # raw EVM add, wraps mod 2^256
+            return (self.eval(expr[1]) + self.eval(expr[2])) % (1 << 256)
+        if tag == "shl":  # ("shl", shift_const, expr)
+            return (self.eval(expr[2]) << expr[1]) % (1 << 256)
         raise ValueError(f"unknown expr {tag}")
 
     # -- EC helpers (precompile conventions: (0,0) = identity) ---------------
@@ -95,6 +99,13 @@ class EvmExecutor:
                     raise EvmRevert("point not on curve")
                 self._mstore(ptr, x)
                 self._mstore(ptr + 32, y)
+            elif tag == "validate_point":
+                _, xp, yp = op
+                x, y = self._mload(xp), self._mload(yp)
+                if x >= bn254.P or y >= bn254.P:
+                    raise EvmRevert("recomposed coordinate out of range")
+                if (y * y - x * x * x - bn254.G1_B) % bn254.P != 0:
+                    raise EvmRevert("recomposed point not on curve")
             elif tag == "modexp_inv":
                 _, dst, expr, _scratch = op
                 v = self.eval(expr)

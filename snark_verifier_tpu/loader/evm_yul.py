@@ -34,6 +34,8 @@ _OP_GAS = {
     "mod": 5,
     "eq": 3,
     "lt": 3,
+    "add": 3,
+    "shl": 3,
     "and": 3,
     "iszero": 3,
     "calldataload": 3,
@@ -212,6 +214,10 @@ class _Exec:
             return a[0] & a[1]
         if fn == "iszero":
             return int(a[0] == 0)
+        if fn == "add":
+            return (a[0] + a[1]) % (1 << 256)
+        if fn == "shl":
+            return (a[1] << a[0]) % (1 << 256)
         if fn == "mload":
             return self.mload(a[0])
         if fn == "calldataload":

@@ -41,6 +41,16 @@ def decide(dk: KzgDecidingKey, accumulator):
 
 
 def decide_all(dk: KzgDecidingKey, accumulators):
+    """decide() every accumulator (decider.rs:85-93).
+
+    Codegen backends that can fold (EvmLoader) random-linear-combine the
+    accumulators with a keccak challenge first so ONE ecPairing decides
+    them all (decider.rs:146-185); native/JAX decide each individually.
+    """
+    if len(accumulators) > 1:
+        loader = accumulators[0].lhs.loader
+        if hasattr(loader, "fold_accumulators"):
+            return decide(dk, loader.fold_accumulators(accumulators))
     results = [decide(dk, acc) for acc in accumulators]
     if all(isinstance(r, bool) for r in results):
         return True

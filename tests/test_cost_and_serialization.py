@@ -33,6 +33,23 @@ def test_cost_model():
     assert estimate_gas(c_gwc) > 21000
 
 
+def test_gas_estimate_tracks_measured_gas():
+    """The analytic gas formula (loader/evm/util.rs:94-102) must model OUR
+    codegen too: the Yul executor's measured gas stays within 25% of the
+    estimate (measured ratio ~1.08 for GWC, ~1.06 for SHPLONK at k=4)."""
+    from snark_verifier_tpu.sdk import gen_proof
+    from snark_verifier_tpu.sdk.evm import evm_verify, gen_evm_verifier
+
+    srs = gen_srs(4)
+    protocol, pk = build_standard_plonk(4, srs)
+    for As, scheme in [(KzgGwc, "gwc"), (KzgShplonk, "shplonk")]:
+        verifier = gen_evm_verifier(protocol, As, srs.decider_key())
+        proof = gen_proof(pk, [[4242]], scheme)
+        gas = evm_verify(verifier, [[4242]], proof)
+        est = estimate_gas(verifier_cost(As, protocol))
+        assert 0.75 < gas / est < 1.25, (scheme, gas, est)
+
+
 def test_protocol_json_roundtrip():
     protocol = _protocol()
     obj = protocol_to_json(protocol)
