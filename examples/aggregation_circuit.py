@@ -9,7 +9,8 @@ single pairing check at the end decides every aggregated proof.
 2. native pre-pass: succinct-verify + fold (aggregate_native),
 3. in-circuit pass: the SAME verification run interpreted by the
    Halo2Loader — every challenge, field op, and MSM becomes a circuit
-   constraint (~6.5M rows for two snarks, the reference aggregation scale),
+   constraint (~3.7M rows for two snarks with the CRT integer gadget —
+   the reference aggregates 3 snarks in ~4.2M rows at k=22),
    checked by the StreamingChecker (MockProver analogue),
 4. the exposed instance limbs must match the native pre-pass byte-for-byte,
 5. decide the folded accumulator.
@@ -52,6 +53,8 @@ builder, exposed = aggregate_in_circuit(
 failures = builder.check_witness()
 print(f"in-circuit pass: {builder.n_rows:,} rows synthesized+checked "
       f"in {time.time()-t0:.1f}s; constraint failures: {len(failures)}")
+print("row metering:",
+      {k: f"{v:,}" for k, v in sorted(builder.row_costs.items())})
 assert not failures
 assert exposed == native.instances, "in-circuit limbs != native pre-pass"
 print("exposed instances byte-identical to the native pre-pass")

@@ -47,6 +47,24 @@ class Halo2Loader(Loader):
         """Make an assigned scalar a public instance of the circuit."""
         self.builder.expose_public(scalar.value.cell, scalar.value.value)
 
+    # -- cost metering (loader.rs:269-273; halo2 impl loader.rs:272-295) ------
+    def start_cost_metering(self, identifier: str):
+        """Record the row offset; end_cost_metering logs the delta."""
+        if not hasattr(self, "_meter_stack"):
+            self._meter_stack = []
+            self.row_costs = {}
+        self._meter_stack.append((identifier, self._n_rows()))
+
+    def end_cost_metering(self):
+        identifier, start = self._meter_stack.pop()
+        self.row_costs[identifier] = (
+            self.row_costs.get(identifier, 0) + self._n_rows() - start
+        )
+
+    def _n_rows(self) -> int:
+        b = self.builder
+        return b.n_rows if hasattr(b, "n_rows") else len(b.rows)
+
     # -- Loader primitives ----------------------------------------------------
     def load_const(self, value: int) -> Scalar:
         value %= bn254.R

@@ -69,9 +69,11 @@ class CircuitBuilder:
 
     def new_row(self, qa=0, qb=0, qc=0, qab=0, const=0, a=0, b=0, c=0,
                 copy_a: Cell | None = None, copy_b: Cell | None = None,
-                copy_c: Cell | None = None) -> int:
+                copy_c: Cell | None = None, range_a: bool = False) -> int:
         """Append a gate row; copy_* add an equality constraint between the
-        new cell and an existing one (the caller passes the same value)."""
+        new cell and an existing one (the caller passes the same value).
+        `range_a` additionally range-checks the a-cell via the lookup — a
+        fused gate+lookup row (the integer gadget's decompose-and-fold)."""
         R = bn254.R
         row = len(self.rows)
         self.rows.append(
@@ -80,6 +82,9 @@ class CircuitBuilder:
         for col, src in enumerate((copy_a, copy_b, copy_c)):
             if src is not None:
                 self._uf.union((col, row), (src.col, src.row))
+        if range_a:
+            assert self.range_bits > 0, "builder built without a range table"
+            self.range_cells.append(row)
         return row
 
     def witness_cell(self, value: int) -> Cell:
@@ -423,7 +428,7 @@ class StreamingChecker(CircuitBuilder):
 
     def new_row(self, qa=0, qb=0, qc=0, qab=0, const=0, a=0, b=0, c=0,
                 copy_a: Cell | None = None, copy_b: Cell | None = None,
-                copy_c: Cell | None = None) -> int:
+                copy_c: Cell | None = None, range_a: bool = False) -> int:
         R = bn254.R
         a, b, c = a % R, b % R, c % R
         row = self._n
@@ -435,6 +440,10 @@ class StreamingChecker(CircuitBuilder):
         for val, src in ((a, copy_a), (b, copy_b), (c, copy_c)):
             if src is not None and self._vals[src.col][src.row] != val:
                 self.failures.append(f"copy constraint violated at row {row}")
+        if range_a:
+            assert self.range_bits > 0, "builder built without a range table"
+            if not 0 <= a < (1 << self.range_bits):
+                self.failures.append(f"range cell out of bounds at row {row}")
         for i, val in enumerate((a, b, c)):
             self._vals[i].append(val)
         return row

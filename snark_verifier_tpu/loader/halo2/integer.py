@@ -9,11 +9,24 @@ max-value bookkeeping); any bilinear identity
 
     sum coeff_i * u_i * v_i + sum coeff_j * x_j + const  ==  0   (mod p)
 
-is enforced by `constrain_zero_mod_p`: witness an offset quotient, balance
-the 68-bit schoolbook columns with offset carry witnesses, range-check
-everything.  Soundness rests on magnitude bounds: every column value and
-carry stays far below the native modulus, so the native row constraints
-pin the exact integer identity.
+is enforced by `constrain_zero_mod_p` via the CRT decomposition that
+halo2_wrong's integer chip uses: witness an offset quotient q' and check
+
+    E + 2^Q*p - q'*p  ==  0   (mod r)        [native check on recomposed
+                                              values, 2^68-weighted folds]
+    E + 2^Q*p - q'*p  ==  0   (mod 2^272)    [two 136-bit column groups of
+                                              schoolbook partial products
+                                              with range-checked carries]
+
+Both congruences with |value| < r * 2^272 pin the exact integer identity
+(r odd), so E == 0 (mod p).  Magnitude bookkeeping: every Integer tracks
+exclusive per-limb bounds; product operands are auto-reduced below 2^257 so
+the CRT bound and the in-field group equations (each < r/2) stay sound.
+
+Range checks are FUSED decompose-and-fold rows: each row both looks up its
+a-cell in the range table (q_range = 1) and accumulates it into the running
+recomposition, so a 68-bit check costs ceil(68/range_bits) rows (+2 for a
+partial-width top chunk, checked raw and shifted).
 
 All rows go through the MainGateChip, so synthesized circuits prove with
 the unmodified host prover.
@@ -21,7 +34,7 @@ the unmodified host prover.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from snark_verifier_tpu.loader.halo2.shim import AssignedInteger, Context
 from snark_verifier_tpu.util import bn254
@@ -30,6 +43,11 @@ LIMBS = 4
 BITS = 68
 R = bn254.R
 _MASK = (1 << BITS) - 1
+GROUP_BITS = 2 * BITS  # 136: two limb columns per binary group
+T_BITS = 2 * GROUP_BITS  # 272: the binary modulus of the CRT check
+# product operands above this magnitude are reduced first (keeps the CRT
+# bound far under r * 2^272 and group equations far under r)
+_OPERAND_CAP = 1 << 257
 
 
 def to_limbs(value: int, n=LIMBS, bits=BITS):
@@ -47,6 +65,8 @@ class Integer:
 
     limbs: list  # [AssignedInteger]
     max_limb: list  # [int] bounds the range checks actually enforce
+    nat: AssignedInteger | None = field(default=None, compare=False)
+    # cached native recomposition sum(limb_i * 2^(68 i)) mod r
 
     @property
     def value(self) -> int:
@@ -62,38 +82,79 @@ class IntegerChip:
 
     # -- range plumbing -------------------------------------------------------
 
-    def range_check(self, ctx: Context, cell: AssignedInteger, bits: int):
-        """Constrain cell < 2^bits via chunked lookups (chunk width =
-        builder.range_bits; a narrower top chunk is checked both raw and
-        shifted so partial widths stay exact)."""
+    def ranged_witness(self, ctx: Context, value: int, bits: int) -> AssignedInteger:
+        """Witness value < 2^bits via fused decompose-and-fold rows: each row
+        range-checks its chunk (lookup on the a-cell) AND accumulates it, so
+        the final fold cell IS the value cell — no separate recomposition."""
+        from snark_verifier_tpu.loader.halo2.builder import Cell
+
         b = ctx.builder
         w = b.range_bits
         assert w > 0, "builder needs a range table for non-native arithmetic"
-        value = cell.value
-        assert value < (1 << bits), f"witness {value} exceeds {bits} bits"
-        terms, shift, v, rest = [], 0, value, bits
+        assert 0 <= value < (1 << bits), f"witness {value} exceeds {bits} bits"
+
+        chunks, v, rest = [], value, bits
         while rest > 0:
             take = min(w, rest)
-            c = v & ((1 << take) - 1)
+            chunks.append((v & ((1 << take) - 1), take))
             v >>= take
-            cc = b.range_cell(c)
-            if take < w:
-                shifted = c << (w - take)
-                sc = b.range_cell(shifted)
-                b.new_row(
-                    qa=1 << (w - take), qb=-1, a=c, b=shifted,
-                    copy_a=cc, copy_b=sc,
-                )
-            terms.append((1 << shift, AssignedInteger(cc, c)))
-            shift += take
             rest -= take
-        recomposed = self.gate.sum_with_coeff_and_const(ctx, terms, 0)
-        ctx.constrain_equal(recomposed.cell, cell.cell)
+        if not chunks:
+            chunks = [(0, 1)]
 
-    def _ranged_witness(self, ctx, value: int, bits: int) -> AssignedInteger:
-        cell = self.gate.assign_integer(ctx, value)
-        self.range_check(ctx, cell, bits)
-        return cell
+        def chunk_cell(c, take):
+            """A cell holding c, constrained < 2^take (partial widths check
+            the raw and shifted value on two fused rows)."""
+            if take == w:
+                return None  # full chunk: fold row itself carries the lookup
+            shifted = c << (w - take)
+            r1 = b.new_row(a=shifted, range_a=True)
+            r2 = b.new_row(
+                qa=1 << (w - take), qb=-1, a=c, b=shifted,
+                copy_b=Cell(0, r1), range_a=True,
+            )
+            return Cell(0, r2)
+
+        if len(chunks) == 1:
+            c, take = chunks[0]
+            cell = chunk_cell(c, take)
+            if cell is None:
+                row = b.new_row(a=c, range_a=True)
+                cell = Cell(0, row)
+            return AssignedInteger(cell, value)
+
+        acc_val, acc_cell, shift = 0, None, 0
+        for c, take in chunks:
+            pre = chunk_cell(c, take)
+            new_val = (acc_val + (c << shift)) % R
+            kw = dict(qa=(1 << shift) % R, qc=-1, a=c, c=new_val)
+            if pre is not None:
+                kw["copy_a"] = pre
+            else:
+                kw["range_a"] = True
+            if acc_cell is not None:
+                kw.update(qb=1, b=acc_val, copy_b=acc_cell)
+            row = b.new_row(**kw)
+            acc_cell, acc_val, shift = Cell(2, row), new_val, shift + take
+        return AssignedInteger(acc_cell, value)
+
+    def range_check(self, ctx: Context, cell: AssignedInteger, bits: int):
+        """Constrain an EXISTING cell < 2^bits (fused chain + one copy)."""
+        w = self.ranged_witness(ctx, cell.value, bits)
+        ctx.constrain_equal(w.cell, cell.cell)
+
+    # -- native recomposition ---------------------------------------------------
+
+    def native_of(self, ctx, x: Integer) -> AssignedInteger:
+        """sum limb_i * 2^(68 i) mod r as one cell, cached on the Integer
+        (every CRT constraint an Integer appears in reuses it)."""
+        if x.nat is None:
+            x.nat = self.gate.sum_with_coeff_and_const(
+                ctx,
+                [(pow(2, BITS * i, R), l) for i, l in enumerate(x.limbs)],
+                0,
+            )
+        return x.nat
 
     # -- assignment -----------------------------------------------------------
 
@@ -103,7 +164,7 @@ class IntegerChip:
         value %= self.p
         widths = [BITS] * (LIMBS - 1) + [self.top_bits]
         limbs = [
-            self._ranged_witness(ctx, lv, wd)
+            self.ranged_witness(ctx, lv, wd)
             for lv, wd in zip(to_limbs(value), widths)
         ]
         return Integer(limbs, [1 << wd for wd in widths])
@@ -171,6 +232,11 @@ class IntegerChip:
             return self.reduce(ctx, a)
         return a
 
+    def _cap_operand(self, ctx, a: Integer) -> Integer:
+        if from_limbs(a.max_limb) >= _OPERAND_CAP:
+            return self.reduce(ctx, a)
+        return a
+
     # -- reductions built on the identity gadget --------------------------------
 
     def reduce(self, ctx, a: Integer) -> Integer:
@@ -202,16 +268,21 @@ class IntegerChip:
         self._constrain_zero_exact(ctx, [(1, r), (1, d)], const=-(self.p - 1))
         return r
 
-    # -- the core column-balance gadget -----------------------------------------
+    # -- the core CRT gadget ------------------------------------------------------
 
     def constrain_zero_mod_p(self, ctx, products, linears, const: int = 0):
         """sum c*u*v + sum c*x + const == 0 (mod p), exactly.
 
-        Witnesses the offset quotient q' = q + 2^Q with q = value/p, folds
-        -q'*p + 2^Q*p + const into per-column constants, and balances each
-        68-bit column with offset carries.  All magnitudes are bounded by
-        the operands' tracked limb bounds, far below the native modulus, so
-        the native row equations pin the exact integer identity."""
+        Witnesses the offset quotient q' = q + 2^Q with q = value/p, then
+        checks V = E + 2^Q*p - q'*p == 0 both mod r (native check over the
+        cached limb recompositions) and mod 2^272 (two 136-bit column
+        groups of schoolbook partial products with offset range-checked
+        carries).  |V| < r*2^272/2 (asserted from the tracked bounds), so
+        the two congruences pin V == 0 as an integer."""
+        products = [
+            (c, self._cap_operand(ctx, u), self._cap_operand(ctx, v))
+            for c, u, v in products
+        ]
         val = (
             sum(c * u.value * v.value for c, u, v in products)
             + sum(c * x.value for c, x in linears)
@@ -220,7 +291,6 @@ class IntegerChip:
         assert val % self.p == 0, "identity does not hold on the witness"
         q = val // self.p
 
-        # magnitude bound decides the quotient offset
         bound = abs(const)
         for c, u, v in products:
             bound += abs(c) * from_limbs(u.max_limb) * from_limbs(v.max_limb)
@@ -229,108 +299,133 @@ class IntegerChip:
         Q = (bound // self.p).bit_length() + 1
         q_off = q + (1 << Q)
         assert 0 <= q_off < (1 << (Q + 2))
+        # CRT soundness: |V| must stay below r * 2^272 (with margin)
+        assert bound + (1 << (Q + 2)) * self.p < (R << T_BITS) // 2, (
+            "operand bounds too large for the CRT check"
+        )
         nq = -(-(Q + 2) // BITS)
+        q_widths = [BITS] * (nq - 1) + [Q + 2 - BITS * (nq - 1)]
         q_limbs = [
-            self._ranged_witness(ctx, (q_off >> (BITS * i)) & _MASK, BITS)
-            for i in range(nq)
+            self.ranged_witness(ctx, (q_off >> (BITS * i)) & _MASK, wd)
+            for i, wd in enumerate(q_widths)
         ]
 
-        # constants: 2^Q * p + const, decomposed into non-negative columns
         k_total = (1 << Q) * self.p + const
-        assert k_total >= 0
-        ncols = max(
-            2 * LIMBS - 1,
-            nq + LIMBS - 1,
-            -(-(k_total.bit_length() or 1) // BITS),
+        assert k_total >= 0, "constant dominates the quotient offset"
+
+        # ---- native check: E + k_total - q'*p == 0 (mod r) -----------------
+        nat_prods = [
+            (c, self.native_of(ctx, u), self.native_of(ctx, v))
+            for c, u, v in products
+        ]
+        nat_lins = [(c, self.native_of(ctx, x)) for c, x in linears]
+        q_nat = self.gate.sum_with_coeff_and_const(
+            ctx,
+            [(pow(2, BITS * i, R), ql) for i, ql in enumerate(q_limbs)],
+            0,
         )
-        k_cols = [(k_total >> (BITS * k)) & _MASK for k in range(ncols)]
-        assert from_limbs(k_cols, BITS) == k_total, "constant overflow"
+        nat_lins.append((-self.p, q_nat))
+        self.gate.assert_zero_sum(ctx, nat_prods, nat_lins, k_total)
 
-        self._balance_columns(ctx, products, linears, q_limbs, k_cols, ncols)
-
-    def _constrain_zero_exact(self, ctx, linears, const: int = 0):
-        """sum c*x + const == 0 as INTEGERS (no quotient term)."""
-        val = sum(c * x.value for c, x in linears) + const
-        assert val == 0
-        neg = -const if const < 0 else 0
-        pos = const if const > 0 else 0
-        ncols = max(
-            LIMBS,
-            -(-(max(neg, pos).bit_length() or 1) // BITS),
-        )
-        k_cols = [(pos >> (BITS * k)) & _MASK for k in range(ncols)]
-        # negative consts ride through the carry offsets via signed columns:
-        # fold -neg into column constants directly (columns accept negatives)
-        if neg:
-            k_cols = [k_cols[k] - ((neg >> (BITS * k)) & _MASK) for k in range(ncols)]
-        self._balance_columns(ctx, [], linears, [], k_cols, ncols)
-
-    def _balance_columns(self, ctx, products, linears, q_limbs, k_cols, ncols):
+        # ---- binary check: two 136-bit column groups mod 2^272 -------------
         carry_cell, carry_val, carry_bits_prev = None, 0, 0
-        for k in range(ncols):
+        for g in (0, 1):
+            base = 2 * g
             prod_terms, lin_terms = [], []
-            col_const = k_cols[k]
-            col_bound = abs(col_const)
+            gconst = (k_total >> (BITS * base)) & ((1 << GROUP_BITS) - 1)
+            gbound = gconst
+            gval = gconst
             for c, u, v in products:
                 for i in range(LIMBS):
-                    j = k - i
-                    if 0 <= j < LIMBS:
-                        prod_terms.append((c, u.limbs[i], v.limbs[j]))
-                        col_bound += abs(c) * u.max_limb[i] * v.max_limb[j]
+                    for j in range(LIMBS):
+                        k = i + j
+                        if base <= k <= base + 1:
+                            wgt = 1 << (BITS * (k - base))
+                            prod_terms.append((c * wgt, u.limbs[i], v.limbs[j]))
+                            gbound += abs(c) * wgt * u.max_limb[i] * v.max_limb[j]
+                            gval += c * wgt * u.limbs[i].value * v.limbs[j].value
             for c, x in linears:
-                if k < len(x.limbs):
-                    lin_terms.append((c, x.limbs[k]))
-                    col_bound += abs(c) * x.max_limb[k]
-            for i, ql in enumerate(q_limbs):
-                j = k - i
-                if 0 <= j < LIMBS and self.p_limbs[j]:
-                    lin_terms.append((-self.p_limbs[j], ql))
-                    col_bound += self.p_limbs[j] << BITS
+                for k in (base, base + 1):
+                    if k < len(x.limbs):
+                        wgt = 1 << (BITS * (k - base))
+                        lin_terms.append((c * wgt, x.limbs[k]))
+                        gbound += abs(c) * wgt * x.max_limb[k]
+                        gval += c * wgt * x.limbs[k].value
+            for i, (ql, wd) in enumerate(zip(q_limbs, q_widths)):
+                for k in (base, base + 1):
+                    j = k - i
+                    if 0 <= j < LIMBS and self.p_limbs[j]:
+                        wgt = 1 << (BITS * (k - base))
+                        lin_terms.append((-self.p_limbs[j] * wgt, ql))
+                        gbound += self.p_limbs[j] * wgt * (1 << wd)
+                        gval += -self.p_limbs[j] * wgt * ql.value
+            if carry_cell is not None:
+                lin_terms.append((1, carry_cell))
+                gconst -= 1 << carry_bits_prev
+                gbound += 1 << (carry_bits_prev + 1)
+                gval += carry_val
 
-            # witness column value
-            cv = col_const
-            for c, u, v in prod_terms:
-                cv += c * u.value * v.value
-            for c, x in lin_terms:
-                cv += c * x.value
-            total = cv + carry_val
-            assert total % (1 << BITS) == 0, f"column {k} does not balance"
-            new_carry = total >> BITS
-
-            if k == ncols - 1:
-                # last column: total must be exactly zero
-                assert new_carry == 0, "nonzero final carry"
-                terms = list(lin_terms)
-                const = col_const
-                if carry_cell is not None:
-                    terms.append((1, carry_cell))
-                    const -= 1 << carry_bits_prev
-                if prod_terms:
-                    s = self.gate.sum_products_with_coeff_and_const(
-                        ctx, prod_terms, 0
-                    )
-                    terms.append((1, s))
-                out = self.gate.sum_with_coeff_and_const(ctx, terms, const)
-                zero = self.gate.assign_constant(ctx, 0)
-                self.gate.assert_equal(ctx, out, zero)
-                return
-
-            carry_mag = col_bound + (1 << carry_bits_prev if carry_cell is not None else 0)
-            carry_bits = max(((carry_mag >> BITS) + 1).bit_length() + 1, 2)
-            w = self._ranged_witness(
+            assert gval % (1 << GROUP_BITS) == 0, f"group {g} does not balance"
+            new_carry = gval >> GROUP_BITS
+            carry_bits = max(((gbound >> GROUP_BITS) + 1).bit_length() + 1, 2)
+            assert abs(new_carry) < (1 << carry_bits)
+            w = self.ranged_witness(
                 ctx, new_carry + (1 << carry_bits), carry_bits + 1
             )
-            # col + (carry_prev - 2^prev) - (w - 2^bits)*2^68 == 0
-            terms = list(lin_terms)
-            const = col_const + ((1 << carry_bits) << BITS)
-            terms.append((-(1 << BITS), w))
+            lin_terms.append((-(1 << GROUP_BITS), w))
+            gconst += 1 << (carry_bits + GROUP_BITS)
+            gbound += 1 << (carry_bits + 1 + GROUP_BITS)
+            # the in-field equation must pin the exact integer relation
+            assert gbound < R // 2, "group magnitude reaches the native modulus"
+            self.gate.assert_zero_sum(ctx, prod_terms, lin_terms, gconst)
+            carry_cell, carry_val, carry_bits_prev = w, new_carry, carry_bits
+
+    def _constrain_zero_exact(self, ctx, linears, const: int = 0):
+        """sum c*x + const == 0 as INTEGERS (no quotient term): 136-bit
+        column groups with a REQUIRED-zero final carry."""
+        val = sum(c * x.value for c, x in linears) + const
+        assert val == 0
+        ncols = max(len(x.limbs) for _, x in linears) if linears else LIMBS
+        ngroups = -(-ncols // 2)
+        carry_cell, carry_val, carry_bits_prev = None, 0, 0
+        for g in range(ngroups):
+            base = 2 * g
+            lin_terms = []
+            # const = sum_g gconst_g * 2^(136 g): masked non-negative low
+            # groups, signed floor-shifted high remainder in the last group
+            if g == ngroups - 1:
+                gconst = const >> (BITS * base)
+            else:
+                gconst = (const >> (BITS * base)) & ((1 << GROUP_BITS) - 1)
+            gbound = abs(gconst)
+            gval = gconst
+            for c, x in linears:
+                for k in (base, base + 1):
+                    if k < len(x.limbs):
+                        wgt = 1 << (BITS * (k - base))
+                        lin_terms.append((c * wgt, x.limbs[k]))
+                        gbound += abs(c) * wgt * x.max_limb[k]
+                        gval += c * wgt * x.limbs[k].value
             if carry_cell is not None:
-                terms.append((1, carry_cell))
-                const -= 1 << carry_bits_prev
-            if prod_terms:
-                s = self.gate.sum_products_with_coeff_and_const(ctx, prod_terms, 0)
-                terms.append((1, s))
-            out = self.gate.sum_with_coeff_and_const(ctx, terms, const)
-            zero = self.gate.assign_constant(ctx, 0)
-            self.gate.assert_equal(ctx, out, zero)
+                lin_terms.append((1, carry_cell))
+                gconst -= 1 << carry_bits_prev
+                gbound += 1 << (carry_bits_prev + 1)
+                gval += carry_val
+            if g == ngroups - 1:
+                assert gval == 0, "nonzero final group"
+                assert gbound < R // 2
+                self.gate.assert_zero_sum(ctx, [], lin_terms, gconst)
+                return
+            assert gval % (1 << GROUP_BITS) == 0, f"group {g} does not balance"
+            new_carry = gval >> GROUP_BITS
+            carry_bits = max(((gbound >> GROUP_BITS) + 1).bit_length() + 1, 2)
+            assert abs(new_carry) < (1 << carry_bits)
+            w = self.ranged_witness(
+                ctx, new_carry + (1 << carry_bits), carry_bits + 1
+            )
+            lin_terms.append((-(1 << GROUP_BITS), w))
+            gconst += 1 << (carry_bits + GROUP_BITS)
+            gbound += 1 << (carry_bits + 1 + GROUP_BITS)
+            assert gbound < R // 2
+            self.gate.assert_zero_sum(ctx, [], lin_terms, gconst)
             carry_cell, carry_val, carry_bits_prev = w, new_carry, carry_bits

@@ -75,6 +75,54 @@ class MainGateChip(IntegerInstructions):
             ctx, [(1, t) for t in terms], constant
         )
 
+    def assert_zero_sum(self, ctx, prod_terms, lin_terms, constant: int):
+        """sum c*u*v + sum c*x + constant == 0 (mod r) WITHOUT materializing
+        a result cell: one product row per product term, then one accumulate
+        chain whose final row has no output column — saves the result cell +
+        zero-constant + copy of the assert-via-cell pattern."""
+        from snark_verifier_tpu.loader.halo2.builder import Cell
+
+        b = ctx.builder
+        R_ = R
+        terms = []
+        for coeff, u, v in prod_terms:
+            coeff %= R_
+            t_val = coeff * u.value % R_ * v.value % R_
+            row = b.new_row(
+                qab=coeff, qc=-1, a=u.value, b=v.value, c=t_val,
+                copy_a=u.cell, copy_b=v.cell,
+            )
+            terms.append((1, AssignedInteger(Cell(2, row), t_val)))
+        terms += [(c % R_, x) for c, x in lin_terms]
+        const = constant % R_
+        if not terms:
+            assert const == 0, "constant-only zero sum is nonzero"
+            return
+        if len(terms) == 1:
+            c0, x0 = terms[0]
+            assert (c0 * x0.value + const) % R_ == 0
+            b.new_row(qa=c0, const=const, a=x0.value, copy_a=x0.cell)
+            return
+        acc_val, acc_cell = const, None
+        for coeff, x in terms[:-1]:
+            new_val = (acc_val + coeff * x.value) % R_
+            if acc_cell is None:
+                row = b.new_row(
+                    qa=coeff, qc=-1, const=const, a=x.value, c=new_val,
+                    copy_a=x.cell,
+                )
+            else:
+                row = b.new_row(
+                    qa=coeff, qb=1, qc=-1, a=x.value, b=acc_val, c=new_val,
+                    copy_a=x.cell, copy_b=acc_cell,
+                )
+            acc_cell, acc_val = Cell(2, row), new_val
+        cl, xl = terms[-1]
+        assert (cl * xl.value + acc_val) % R_ == 0
+        b.new_row(
+            qa=cl, qb=1, a=xl.value, b=acc_val, copy_a=xl.cell, copy_b=acc_cell
+        )
+
     def sub(self, ctx, lhs, rhs):
         from snark_verifier_tpu.loader.halo2.builder import Cell
 

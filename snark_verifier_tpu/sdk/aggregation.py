@@ -79,16 +79,20 @@ def verify_aggregation(As, vk, accumulators, as_proof: bytes) -> KzgAccumulator:
     return As.as_verify(vk, accumulators, proof)
 
 
-def aggregate_in_circuit(As, svk, snarks, as_proof: bytes = b"", builder=None):
+def aggregate_in_circuit(As, svk, snarks, as_proof: bytes = b"", builder=None,
+                         preprocessed_as_witness: bool = False):
     """In-circuit aggregation pass (aggregation.rs:249-402): run the
     succinct verifier + accumulation-scheme verifier under the Halo2Loader,
     exposing the folded accumulator's 16 limb scalars as public instances.
 
     `builder` defaults to a StreamingChecker (check-only; the synthesized
     verifier runs to millions of rows).  Pass a recording CircuitBuilder to
-    actually compile/prove small instances.  Returns (builder, instances)
-    where instances are the exposed limb ints (must equal the native
-    pre-pass `AggregationResult.instances`)."""
+    actually compile/prove small instances.  `preprocessed_as_witness` lifts
+    each snark's preprocessed commitments + transcript init state as circuit
+    WITNESSES instead of constants (protocol.rs:158-188) — the recursion
+    variant where the verifying key is not fixed at circuit definition.
+    Returns (builder, instances) where instances are the exposed limb ints
+    (must equal the native pre-pass `AggregationResult.instances`)."""
     from snark_verifier_tpu.loader import Scalar
     from snark_verifier_tpu.loader.halo2 import Halo2Loader
     from snark_verifier_tpu.loader.halo2.builder import StreamingChecker
@@ -96,27 +100,37 @@ def aggregate_in_circuit(As, svk, snarks, as_proof: bytes = b"", builder=None):
     from snark_verifier_tpu.loader.halo2.transcript import Halo2PoseidonTranscript
     from snark_verifier_tpu.pcs.kzg import KzgAsVerifyingKey
 
-    builder = builder if builder is not None else StreamingChecker(range_bits=16)
+    # range_bits=17 splits the 68-bit limbs into exactly 4 lookup chunks
+    # (no partial-width rows); the 2^17-row table is negligible at this scale
+    builder = builder if builder is not None else StreamingChecker(range_bits=17)
     loader = Halo2Loader(ecc_chip=EccChip(), builder=builder)
     verifier = PlonkSuccinctVerifier(As)
 
     accumulators = []
-    for snark in snarks:
-        loaded = snark.protocol.loaded(loader)
+    for i, snark in enumerate(snarks):
+        loader.start_cost_metering(f"snark-{i}")  # row metering, loader.rs:272-295
+        loaded = (
+            snark.protocol.loaded_preprocessed_as_witness(loader)
+            if preprocessed_as_witness
+            else snark.protocol.loaded(loader)
+        )
         instances = [
             [loader.assign_scalar(v) for v in col] for col in snark.instances
         ]
         transcript = Halo2PoseidonTranscript(snark.proof, loader)
         proof = verifier.read_proof(svk, loaded, instances, transcript)
         accumulators.extend(verifier.verify(svk, loaded, instances, proof))
+        loader.end_cost_metering()
 
     if len(accumulators) == 1:
         accumulator = accumulators[0]
     else:
+        loader.start_cost_metering("accumulation")
         transcript = Halo2PoseidonTranscript(as_proof, loader)
         vk = KzgAsVerifyingKey()
         proof = As.as_read_proof(vk, accumulators, transcript)
         accumulator = As.as_verify(vk, accumulators, proof)
+        loader.end_cost_metering()
 
     chip = loader.ecc_chip
     exposed = []
@@ -126,4 +140,5 @@ def aggregate_in_circuit(As, svk, snarks, as_proof: bytes = b"", builder=None):
             for limb in canon.limbs:
                 loader.expose_scalar(Scalar(loader, limb))
                 exposed.append(limb.value)
+    builder.row_costs = dict(loader.row_costs)  # per-identifier row metering
     return builder, exposed

@@ -368,20 +368,39 @@ class PlonkProtocol:
         """Lift host constants into loader values (protocol.rs:114-138)."""
         return LoadedProtocol(self, loader)
 
+    def loaded_preprocessed_as_witness(self, loader):
+        """Lift preprocessed commitments + transcript initial state as
+        WITNESSES instead of constants (protocol.rs:158-188) — the recursion
+        variant for verifying snarks whose verifying key is not fixed at
+        circuit-definition time (the vk becomes part of the witness)."""
+        return LoadedProtocol(self, loader, as_witness=True)
+
 
 class LoadedProtocol:
     """Protocol with preprocessed commitments / initial state lifted into a
     loader's value domain."""
 
-    def __init__(self, protocol: PlonkProtocol, loader):
+    def __init__(self, protocol: PlonkProtocol, loader, as_witness: bool = False):
         self.inner = protocol
         self.loader = loader
-        self.preprocessed = [loader.ec_point_load_const(pt) for pt in protocol.preprocessed]
-        self.transcript_initial_state = (
-            loader.load_const(protocol.transcript_initial_state)
-            if protocol.transcript_initial_state is not None
-            else None
-        )
+        if as_witness:
+            self.preprocessed = [
+                loader.assign_ec_point(pt) for pt in protocol.preprocessed
+            ]
+            self.transcript_initial_state = (
+                loader.assign_scalar(protocol.transcript_initial_state)
+                if protocol.transcript_initial_state is not None
+                else None
+            )
+        else:
+            self.preprocessed = [
+                loader.ec_point_load_const(pt) for pt in protocol.preprocessed
+            ]
+            self.transcript_initial_state = (
+                loader.load_const(protocol.transcript_initial_state)
+                if protocol.transcript_initial_state is not None
+                else None
+            )
 
     def __getattr__(self, name):
         return getattr(self.inner, name)

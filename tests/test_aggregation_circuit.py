@@ -2,11 +2,12 @@
 
 Parity: snark-verifier-sdk AggregationCircuit (halo2/aggregation.rs:249-402)
 — the succinct verifier + accumulation fold interpreted by the Halo2Loader.
-The synthesized verifier runs to ~3.3M rows per snark (reference aggregation
-circuits are k=21..23, the same scale), so satisfiability is checked by the
-StreamingChecker (MockProver analogue) rather than proven by the pure-python
-host prover; proving-path coverage for loader-built circuits lives in
-test_halo2_loader.py / test_ecc_chip.py at small k.
+The synthesized verifier runs to ~1.8M rows per snark (CRT integer gadget;
+reference aggregation circuits are k=21..23, the same scale), so
+satisfiability is checked by the StreamingChecker (MockProver analogue)
+rather than proven by the pure-python host prover; proving-path coverage for
+loader-built circuits lives in test_halo2_loader.py / test_ecc_chip.py at
+small k.
 """
 
 import os
@@ -41,6 +42,25 @@ def test_in_circuit_verify_single_snark(setup):
     assert builder.check_witness() == []
     assert exposed == native.instances
     assert builder.n_rows > 1_000_000  # it really is the whole verifier
+
+
+def test_in_circuit_preprocessed_as_witness(setup):
+    """The recursion variant (protocol.rs:158-188): preprocessed commitments
+    + transcript init state enter the circuit as WITNESSES; the verifier
+    still closes, limbs still byte-equal the native pre-pass, and the
+    cost-metering hooks report per-snark row counts."""
+    srs, pk = setup
+    snark = gen_snark(pk, [[888]], "gwc", cache_name=None, transcript_kind="poseidon")
+    native = aggregate_native(KzgGwc, srs.g[0], [snark])
+
+    builder, exposed = aggregate_in_circuit(
+        KzgGwc, srs.g[0], [snark], preprocessed_as_witness=True
+    )
+    assert builder.check_witness() == []
+    assert exposed == native.instances
+    # row metering (loader.rs:272-295 role): per-identifier row costs
+    assert builder.row_costs["snark-0"] > 1_000_000
+    assert builder.row_costs["snark-0"] <= builder.n_rows
 
 
 @pytest.mark.skipif(
