@@ -180,20 +180,27 @@ def _msm_bench(configs):
     from snark_verifier_tpu.ops.limbs import ints_to_limbs
     from snark_verifier_tpu.util import bn254 as bn
 
-    n = 1 << int(os.environ.get("BENCH_MSM_LOGN", "16"))
+    logn = int(os.environ.get("BENCH_MSM_LOGN", "16"))
+    n = 1 << logn
     rng = random.Random(0)
     base = [bn.g1_mul(bn.G1_GEN, i + 1) for i in range(64)]
     pts = C.g1_from_affine_ints(base * (n // 64))
     scal = jnp.asarray(
         np.tile(ints_to_limbs([rng.randrange(bn.R) for _ in range(64)]), (n // 64, 1))
     )
-    out = M.msm_serial(pts, scal, 8)
+    # logn >= 18: the (nwin, n) working set would blow HBM — window-chunked
+    msm = (
+        M.msm_serial
+        if logn < 18
+        else (lambda p, s, w: M.msm_serial_chunked(p, s, w, win_chunk=4))
+    )
+    out = msm(pts, scal, 8)
     np.asarray(out.x)
     t0 = time.time()
-    out = M.msm_serial(pts, scal, 8)
+    out = msm(pts, scal, 8)
     np.asarray(out.x)
     dt = time.time() - t0
-    configs["msm_2e16_points_per_s"] = round(n / dt)
+    configs[f"msm_2e{logn}_points_per_s"] = round(n / dt)
     _detail({"msm_points": n, "msm_s": round(dt, 3), "points_per_s": round(n / dt)})
 
 

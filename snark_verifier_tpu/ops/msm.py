@@ -152,6 +152,9 @@ def msm_serial(points: G1, scalars_canon, window: int = 8) -> G1:
          Hillis-Steele prefix scan,
       3. per-window weighted bucket aggregation (suffix scan over buckets),
       4. Horner combine across windows (w doublings + 1 add per window).
+
+    Working set is ~(nwin, n) points; for N where that exceeds HBM use
+    `msm_serial_chunked` (same math, windows processed in chunks).
     """
     n_orig = points.x.shape[0]
     nbuckets = 1 << window
@@ -168,6 +171,15 @@ def msm_serial(points: G1, scalars_canon, window: int = 8) -> G1:
         ident_n.z.at[:n_orig].set(points.z),
     )
 
+    totals = _bucket_totals(pts_pad, dig, nbuckets)  # (nwin,)
+    return _horner_combine(totals, window)
+
+
+def _bucket_totals(pts_pad: G1, dig, nbuckets: int) -> G1:
+    """Steps 1-3 of the window-parallel Pippenger: per-window argsort,
+    pairwise tree reduction of sorted digit runs into buckets, weighted
+    suffix-scan aggregation.  dig: (nwin, n) -> per-window totals (nwin,)."""
+    nwin, n = dig.shape
     order = jnp.argsort(dig, axis=1)  # (nwin, n)
     seg = jnp.take_along_axis(dig, order, axis=1).astype(jnp.int32)
     cur = G1(pts_pad.x[order], pts_pad.y[order], pts_pad.z[order])
@@ -220,7 +232,12 @@ def msm_serial(points: G1, scalars_canon, window: int = 8) -> G1:
             jnp.moveaxis(buckets.z, 1, 0),
         )
     )  # (nbuckets, nwin, 16)
-    totals = C.g1_tree_sum(G1(suffix.x[1:], suffix.y[1:], suffix.z[1:]))  # (nwin,)
+    return C.g1_tree_sum(G1(suffix.x[1:], suffix.y[1:], suffix.z[1:]))  # (nwin,)
+
+
+def _horner_combine(totals: G1, window: int) -> G1:
+    """acc = sum_w 2^(w*window) * totals_w, MSB-first (w dbl + 1 add each)."""
+    nwin = totals.x.shape[0]
 
     def horner(acc: G1, w):
         acc = _double_n(acc, window)
@@ -230,6 +247,53 @@ def msm_serial(points: G1, scalars_canon, window: int = 8) -> G1:
     acc0 = C.g1_identity(())
     acc, _ = jax.lax.scan(horner, acc0, jnp.arange(nwin - 1, -1, -1))
     return acc
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _chunk_totals(pts_pad: G1, dig, nbuckets: int) -> G1:
+    return _bucket_totals(pts_pad, dig, nbuckets)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _horner_jit(totals: G1, window: int) -> G1:
+    return _horner_combine(totals, window)
+
+
+def msm_serial_chunked(points: G1, scalars_canon, window: int = 8,
+                       win_chunk: int = 8) -> G1:
+    """Memory-bounded large-N Pippenger: identical math to `msm_serial`, but
+    the ceil(256/w) windows are processed `win_chunk` at a time, so the
+    working set is ~(win_chunk, n) points instead of (nwin, n) — at n = 2^20
+    and w = 8 that is ~1.6 GB instead of ~6.4 GB (before XLA slack).  The
+    per-chunk computation compiles ONCE (same shapes every chunk when
+    win_chunk divides nwin); totals are concatenated and Horner-combined."""
+    n_orig = points.x.shape[0]
+    nbuckets = 1 << window
+    nwin = (NLIMB * LIMB_BITS + window - 1) // window
+    assert nwin % win_chunk == 0, "win_chunk must divide the window count"
+
+    n = 1 << max(0, (n_orig - 1)).bit_length()
+    digits = _window_digits(scalars_canon, window, nwin, nbuckets)  # (n0, nwin)
+    ident_n = C.g1_identity((n,))
+    pts_pad = G1(
+        ident_n.x.at[:n_orig].set(points.x),
+        ident_n.y.at[:n_orig].set(points.y),
+        ident_n.z.at[:n_orig].set(points.z),
+    )
+    parts = []
+    for lo in range(0, nwin, win_chunk):
+        dchunk = (
+            jnp.zeros((win_chunk, n), jnp.uint32)
+            .at[:, :n_orig]
+            .set(digits.T[lo : lo + win_chunk])
+        )
+        parts.append(_chunk_totals(pts_pad, dchunk, nbuckets))
+    totals = G1(
+        jnp.concatenate([p.x for p in parts]),
+        jnp.concatenate([p.y for p in parts]),
+        jnp.concatenate([p.z for p in parts]),
+    )
+    return _horner_jit(totals, window)
 
 
 def _window_digits(scalars_canon, window, nwin, nbuckets):

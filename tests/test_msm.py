@@ -67,6 +67,20 @@ def test_msm_serial_straddling_window():
     assert got[0] == exp
 
 
+def test_msm_serial_chunked_matches():
+    """Window-chunked large-N path: bit-identical to msm_serial + oracle."""
+    n = 21
+    pts, scalars = rand_case(n)
+    p = C.g1_from_affine_ints(pts)
+    s = jnp.asarray(ints_to_limbs(scalars))
+    got = C.g1_to_affine_ints(M.msm_serial_chunked(p, s, 8, win_chunk=8))
+    exp = bn.g1_msm(scalars, pts)
+    assert got[0] == exp
+    # and a chunk width that forces 4 chunks
+    got2 = C.g1_to_affine_ints(M.msm_serial_chunked(p, s, 8, win_chunk=4))
+    assert got2[0] == exp
+
+
 def test_msm_equal_points_collide():
     # duplicated points and duplicated scalars stress bucket segmentation
     pt = bn.g1_mul(bn.G1_GEN, 5)
