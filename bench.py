@@ -260,6 +260,12 @@ def _sol_bench(configs):
         dt = timeit_chain(lambda c: (CP.g1_add_pallas(c[0], c[1]), c[0]), (p, q))
         configs["sol_g1_add_pallas_ops_per_s"] = round(B * K / dt)
 
+        mask = jnp.asarray(np.arange(B) % 3 != 0)
+        dt = timeit_chain(
+            lambda c: (CP.g1_add_select_pallas(mask, c[0], c[1]), c[0]), (p, q)
+        )
+        configs["sol_g1_add_select_pallas_ops_per_s"] = round(B * K / dt)
+
     from snark_verifier_tpu.ops import poseidon as POS
     from snark_verifier_tpu.util.poseidon import default_spec
 

@@ -166,6 +166,24 @@ def _g1_add_xla(p: G1, q: G1) -> G1:
     return G1(x3, y3, z3)
 
 
+def g1_add_select(cond, p: G1, q: G1) -> G1:
+    """cond ? p+q : p — the conditional-accumulate step of every tree/scan
+    fold (MSM tree reduce, `g1_tree_sum`, bucket suffix scan).
+
+    On TPU this is ONE fused Pallas kernel (the select rides along inside
+    the add, saving the merged-point slab round trip — the add kernel is
+    VMEM-traffic-bound, PERF.md).  The XLA composition below is the
+    bit-exact reference path; RCB15 complete addition is symmetric in
+    (p, q), so both paths agree for either operand order."""
+    from snark_verifier_tpu.config import use_pallas
+
+    if use_pallas() and _pallas_worthwhile(p.x, q.x):
+        from snark_verifier_tpu.ops.curve_pallas import g1_add_select_pallas
+
+        return g1_add_select_pallas(cond, p, q)
+    return g1_select(cond, g1_add(p, q), p)
+
+
 @jax.jit
 def g1_add_affine(p: G1, qx, qy, q_is_inf) -> G1:
     """Complete mixed addition (q affine), RCB15 algorithm 8 + identity mask."""
@@ -243,8 +261,7 @@ def g1_tree_sum(p: G1, axis: int = 0) -> G1:
         valid = (pos % (2 * stride) == 0) & (pos + stride < n)
         valid = valid.reshape((n,) + (1,) * (cur.x.ndim - 2))
         moved = G1(cur.x[partner], cur.y[partner], cur.z[partner])
-        merged = g1_add(cur, moved)
-        return g1_select(valid, merged, cur), None
+        return g1_add_select(valid, cur, moved), None
 
     out, _ = jax.lax.scan(round_step, p, strides)
     return G1(out.x[0], out.y[0], out.z[0])

@@ -101,8 +101,28 @@ def _dbl_kernel(x, y, z, mod, npr, ox, oy, oz):
     oz[:] = rz
 
 
+def _add_select_kernel(x1, y1, z1, x2, y2, z2, m, mod, npr, ox, oy, oz):
+    """out = m ? (p1 + p2) : p1 — complete add with the select fused in.
+
+    The conditional-accumulate step of every tree/scan fold (MSM tree
+    reduce, g1_tree_sum, bucket suffix scan).  Fusing the select saves the
+    merged-point 3-slab round trip through HBM: the add kernel is VMEM-
+    traffic-bound (PERF.md), so the win is proportional to slabs moved."""
+    rx, ry, rz = _add_core(
+        x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], mod[:], npr[:]
+    )
+    keep = m[:] != 0
+    ox[:] = jnp.where(keep, rx, x1[:])
+    oy[:] = jnp.where(keep, ry, y1[:])
+    oz[:] = jnp.where(keep, rz, z1[:])
+
+
 def _point_blockspec():
     return pl.BlockSpec((NLIMB, FP.LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _mask_blockspec():
+    return pl.BlockSpec((1, FP.LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
 def _flatten_t(arr, n, pad):
@@ -140,6 +160,58 @@ def g1_add_pallas(p, q):
             out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
             grid=(total // FP.LANES,),
             in_specs=[_point_blockspec()] * 6 + TConsts.in_specs(),
+            out_specs=[_point_blockspec()] * 3,
+        )(*ins, *tc.as_inputs())
+    x, y, z = (o[:, :n].T.reshape(batch_shape + (NLIMB,)) for o in outs)
+    return G1(x, y, z)
+
+
+@jax.jit
+def g1_add_select_pallas(cond, p, q):
+    """cond ? p+q : p in ONE kernel (see `_add_select_kernel`).
+
+    cond broadcasts against the point batch shape; the complete-add formulas
+    are symmetric in (p, q), so callers may order operands freely to match
+    whichever one the fallback must return."""
+    from snark_verifier_tpu.ops.curve import G1
+    from snark_verifier_tpu.ops import field as F
+
+    spec = F.FQ
+    batch_shape = jnp.broadcast_shapes(
+        p.x.shape[:-1], q.x.shape[:-1], jnp.shape(cond)
+    )
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    total = FP._padded_total(n)
+    pad = total - n
+    tc = tconsts(spec)
+
+    ins = []
+    for g in (p, q):
+        for coord in (g.x, g.y, g.z):
+            c = jnp.broadcast_to(coord, batch_shape + (NLIMB,))
+            ins.append(_flatten_t(c, n, pad))
+    m = jnp.broadcast_to(cond, batch_shape).astype(jnp.uint32).reshape(1, n)
+    if pad:
+        m = jnp.pad(m, ((0, 0), (0, pad)))
+    ins.append(m)
+
+    if FP.interpret():
+        mod, npr = tc.as_inputs()
+        rx, ry, rz = _add_core(*ins[:6], mod, npr)
+        keep = ins[6] != 0
+        outs = (
+            jnp.where(keep, rx, ins[0]),
+            jnp.where(keep, ry, ins[1]),
+            jnp.where(keep, rz, ins[2]),
+        )
+    else:
+        outs = pl.pallas_call(
+            _add_select_kernel,
+            out_shape=[jax.ShapeDtypeStruct((NLIMB, total), jnp.uint32)] * 3,
+            grid=(total // FP.LANES,),
+            in_specs=[_point_blockspec()] * 6
+            + [_mask_blockspec()]
+            + TConsts.in_specs(),
             out_specs=[_point_blockspec()] * 3,
         )(*ins, *tc.as_inputs())
     x, y, z = (o[:, :n].T.reshape(batch_shape + (NLIMB,)) for o in outs)

@@ -214,8 +214,8 @@ def _bucket_totals(pts_pad: G1, dig, nbuckets: int) -> G1:
         odd = G1(cur.x[:, 1::2], cur.y[:, 1::2], cur.z[:, 1::2])
         seg_e, seg_o = seg[:, 0::2], seg[:, 1::2]
         same = seg_e == seg_o
-        merged = C.g1_add(even, odd)
-        cur = C.g1_select(same, merged, odd)
+        # same ? odd+even : odd, fused (complete add is symmetric in p, q)
+        cur = C.g1_add_select(same, odd, even)
         # a pair crossing a run boundary completes seg_e's run: flush it
         tgt = jnp.where(same, nbuckets, seg_e)  # nbuckets = dropped sentinel
         buckets = flush_into(buckets, even, tgt)
@@ -313,35 +313,6 @@ def _window_digits(scalars_canon, window, nwin, nbuckets):
     return (lo | hi).astype(jnp.uint32)
 
 
-def _segmented_inclusive_scan(pts: G1, seg_start):
-    """Hillis–Steele segmented inclusive scan with the point-add monoid.
-
-    Runs as `lax.scan` over log2(n) strides with a ONE-add body so the add
-    graph compiles once (jax's associative_scan would instantiate it at
-    every level).  Returns (x, y, z) arrays where each position holds the sum
-    of its segment's prefix.
-    """
-    n = pts.x.shape[0]
-    rounds = max(1, int(np.ceil(np.log2(n))))
-    strides = jnp.asarray([1 << r for r in range(rounds)], jnp.int32)
-    pos = jnp.arange(n, dtype=jnp.int32)
-
-    def round_step(carry, stride):
-        cur, flag = carry
-        src = jnp.maximum(pos - stride, 0)
-        valid = (pos - stride >= 0) & jnp.logical_not(flag.astype(bool))
-        moved = G1(cur.x[src], cur.y[src], cur.z[src])
-        merged = C.g1_add(moved, cur)
-        nxt = C.g1_select(valid, merged, cur)
-        new_flag = flag | jnp.where(valid, flag[src], jnp.zeros_like(flag))
-        # flag semantics: position i's accumulated range has hit a segment
-        # start; combine: flag_i |= (not flag_i) & flag_src
-        return (nxt, new_flag), None
-
-    (out, _), _ = jax.lax.scan(round_step, (pts, seg_start), strides)
-    return out.x, out.y, out.z
-
-
 def _g1_suffix_scan(buckets: G1) -> G1:
     """Suffix sums S'_b = sum_{c >= b} S_c via a log-round Hillis–Steele fold."""
     n = buckets.x.shape[0]
@@ -354,8 +325,7 @@ def _g1_suffix_scan(buckets: G1) -> G1:
         valid = pos + stride <= n - 1
         valid = valid.reshape((n,) + (1,) * (cur.x.ndim - 2))
         moved = G1(cur.x[src], cur.y[src], cur.z[src])
-        merged = C.g1_add(cur, moved)
-        return C.g1_select(valid, merged, cur), None
+        return C.g1_add_select(valid, cur, moved), None
 
     out, _ = jax.lax.scan(round_step, buckets, strides)
     return out

@@ -32,6 +32,7 @@ def small_tier(monkeypatch):
         FP.mont_mul_pallas.clear_cache()
         CP.g1_add_pallas.clear_cache()
         CP.g1_double_pallas.clear_cache()
+        CP.g1_add_select_pallas.clear_cache()
 
     fresh()
     yield
@@ -115,6 +116,19 @@ def test_g1_double_pallas_bit_exact(small_tier, n):
     ps = _points(rng, n)
     got = _affine_ints(CP.g1_double_pallas(_g1_from(ps)))
     want = [_oracle_add(p, p) for p in ps]
+    assert list(got) == want
+
+
+@pytest.mark.parametrize("n", [1, TIER_LANES, TIER_TOTAL + 1])
+def test_g1_add_select_pallas_bit_exact(small_tier, n):
+    """cond ? p+q : p — the fused conditional-accumulate (tree/scan folds)."""
+    import random
+
+    rng = random.Random(17 + n)
+    ps, qs = _points(rng, n), _points(rng, n)
+    cond = np.asarray([i % 3 != 0 for i in range(n)])
+    got = _affine_ints(CP.g1_add_select_pallas(cond, _g1_from(ps), _g1_from(qs)))
+    want = [_oracle_add(p, q) if c else p for p, q, c in zip(ps, qs, cond)]
     assert list(got) == want
 
 
