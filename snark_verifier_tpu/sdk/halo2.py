@@ -59,12 +59,27 @@ def gen_proof(
             return proof
         metrics.count("sdk.proof_cache_stale")
     with metrics.timer("sdk.create_proof"):
-        proof = create_proof(pk, instances, scheme, transcript_kind)
+        proof = _create(pk, instances, scheme, transcript_kind)
     if path:
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(proof, f)
+        from snark_verifier_tpu.system.halo2.srs import _atomic_pickle
+
+        _atomic_pickle(path, proof)
     return proof
+
+
+def _create(pk, instances, scheme, transcript_kind) -> bytes:
+    """prover_fast (threaded native kernels) when available — byte-identical
+    to prover.create_proof (tests/test_prover_fast.py) — else the python
+    oracle prover."""
+    if os.environ.get("SVTPU_NATIVE", "1") != "0":
+        from snark_verifier_tpu.util import frvec
+
+        if frvec.available():
+            from snark_verifier_tpu.system.halo2.prover_fast import create_proof_fast
+
+            return create_proof_fast(pk, instances, scheme, transcript_kind)
+    return create_proof(pk, instances, scheme, transcript_kind)
 
 
 def gen_snark(

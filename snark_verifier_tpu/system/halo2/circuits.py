@@ -79,12 +79,17 @@ class ProvingKey:
     lookups: list = None  # [LookupInfo]
     zk_blinding: int = 0  # blinding factors B (0 = zk disabled)
     random_poly: Optional[int] = None  # zk random witness poly index
+    permutations: list = None  # num_proof>1: one PermutationInfo per z poly
+
+    def perm_for_z(self, z_idx: int):
+        perms = self.permutations or ([self.permutation] if self.permutation else [])
+        return dict(zip(self.z_polys, perms))[z_idx]
 
 
 BLINDING = 5  # zk blinding factors (cs.blinding_factors() analogue)
 
 
-def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
+def build_standard_plonk(k: int, srs: Srs, zk: bool = False, num_proof: int = 1):
     """Compile StandardPlonk at size 2^k; returns (protocol, pk).
 
     zk=True mirrors the reference's Config::set_zk(true) compile
@@ -92,53 +97,36 @@ def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
     trailing lagranges, the permutation constrained as l_0*(1-z),
     l_last*(z^2-z), l_active*(left-right), and one extra random witness
     polynomial queried last (halo2.rs:131,148,468-474).  The prover blinds
-    advice/z tail rows and commits a random polynomial."""
-    assert srs.k >= k
+    advice/z tail rows and commits a random polynomial.
+
+    num_proof=t compiles ONE protocol describing t proofs in a single
+    transcript (system/halo2.rs:72-76,325-345; exercised by the reference's
+    test/kzg/native.rs:20-38 with num_proof=2): instance/advice/z polys
+    repeat per proof (advice proof-major within each phase), constraints
+    replicate per proof under one DistributePowers(alpha), fixed/sigma
+    queries appear once, and all challenges are shared."""
+    assert srs.k >= k and num_proof >= 1
     domain = Domain.new(k)
     n = domain.n
+    T = num_proof
 
-    # ---- poly index layout -------------------------------------------------
-    # fixed: 0 q_a, 1 q_b, 2 q_c, 3 q_ab, 4 constant; perm-fixed: 5,6,7
-    # instance: 8; advice: 9 a, 10 b, 11 c; permutation z: 12;
-    # [zk: random 13]; quotient: 13 (+1 with zk)
+    # ---- poly index layout (reference: fixed | perm-fixed | instance*T |
+    # advice phases (proof-major) | z*T [| random] | quotient) ---------------
     Q_A, Q_B, Q_C, Q_AB, CONST = range(5)
     S_A, S_B, S_C = 5, 6, 7
-    INSTANCE = 8
-    A, B, C = 9, 10, 11
-    Z = 12
-    RAND = 13 if zk else None
+    INSTANCE = [8 + t for t in range(T)]
+    ADV = [(8 + T + 3 * t, 9 + T + 3 * t, 10 + T + 3 * t) for t in range(T)]
+    Z = [8 + 4 * T + t for t in range(T)]
+    RAND = 8 + 5 * T if zk else None
+    QUOT = 8 + 5 * T + (1 if zk else 0)
 
     P = lambda idx, rot=0: Polynomial(Query.new(idx, rot))
     theta, beta, gamma, alpha = Challenge(0), Challenge(1), Challenge(2), Challenge(3)
 
-    gate = (
-        P(Q_A) * P(A)
-        + P(Q_B) * P(B)
-        + P(Q_C) * P(C)
-        + P(Q_AB) * P(A) * P(B)
-        + P(CONST)
-        + P(INSTANCE)
-    )
-
-    # permutation constraints, zk=false, single chunk of all 3 columns
-    # (system/halo2.rs:567-660 with zk=false, zs.len()==1)
     l_0 = CommonLagrange(0)
     one = Constant(1)
-    cols = [P(A), P(B), P(C)]
     sigmas = [P(S_A), P(S_B), P(S_C)]
     ident = CommonIdentity()
-
-    perm_l0 = l_0 * (one - P(Z))
-    left = P(Z, 1)
-    for col, sigma in zip(cols, sigmas):
-        left = left * (col + beta * sigma + gamma)
-    right = P(Z)
-    delta_pow = 1
-    for i, col in enumerate(cols):
-        right = right * (col + beta * Constant(delta_pow) * ident + gamma)
-        delta_pow = delta_pow * DELTA % bn254.R
-    perm_main = left - right
-
     if zk:
         rot_last = -(BLINDING + 1)
         l_last = CommonLagrange(rot_last)
@@ -147,26 +135,64 @@ def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
             term = CommonLagrange(j)
             l_blind = term if l_blind is None else l_blind + term
         l_active = one - l_last - l_blind
-        perm_last = l_last * (P(Z) * P(Z) - P(Z))
-        numerator = DistributePowers(
-            (gate, perm_l0, perm_last, l_active * perm_main), alpha
+
+    constraints = []
+    for t in range(T):
+        A, B, C = ADV[t]
+        gate = (
+            P(Q_A) * P(A)
+            + P(Q_B) * P(B)
+            + P(Q_C) * P(C)
+            + P(Q_AB) * P(A) * P(B)
+            + P(CONST)
+            + P(INSTANCE[t])
         )
-    else:
-        numerator = DistributePowers((gate, perm_l0, perm_main), alpha)
+        # permutation constraints, single chunk of all 3 columns
+        # (system/halo2.rs:567-660)
+        cols = [P(A), P(B), P(C)]
+        perm_l0 = l_0 * (one - P(Z[t]))
+        left = P(Z[t], 1)
+        for col, sigma in zip(cols, sigmas):
+            left = left * (col + beta * sigma + gamma)
+        right = P(Z[t])
+        delta_pow = 1
+        for col in cols:
+            right = right * (col + beta * Constant(delta_pow) * ident + gamma)
+            delta_pow = delta_pow * DELTA % bn254.R
+        perm_main = left - right
+        if zk:
+            constraints += [
+                gate,
+                perm_l0,
+                l_last * (P(Z[t]) * P(Z[t]) - P(Z[t])),
+                l_active * perm_main,
+            ]
+        else:
+            constraints += [gate, perm_l0, perm_main]
+
+    numerator = DistributePowers(tuple(constraints), alpha)
     degree = numerator.degree()  # 4 (zk: 5)
     num_chunk = degree - 1
 
     evaluations = (
-        [Query.new(A), Query.new(B), Query.new(C)]
+        [Query.new(p) for t in range(T) for p in ADV[t]]
         + [Query.new(i) for i in range(5)]
         + ([Query.new(RAND)] if zk else [])
         + [Query.new(i) for i in (S_A, S_B, S_C)]
-        + [Query.new(Z), Query.new(Z, 1)]
+        + [q for t in range(T) for q in (Query.new(Z[t]), Query.new(Z[t], 1))]
     )
-    QUOT = 14 if zk else 13
     queries = (
-        [Query.new(A), Query.new(B), Query.new(C)]
-        + [Query.new(Z), Query.new(Z, 1)]
+        [
+            q
+            for t in range(T)
+            for q in (
+                Query.new(ADV[t][0]),
+                Query.new(ADV[t][1]),
+                Query.new(ADV[t][2]),
+                Query.new(Z[t]),
+                Query.new(Z[t], 1),
+            )
+        ]
         + [Query.new(i) for i in range(5)]
         + [Query.new(i) for i in (S_A, S_B, S_C)]
         + [Query.new(QUOT)]
@@ -180,9 +206,8 @@ def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
         fixed[col][1] = idx
 
     # copy constraints: a[2] == b[3], a[2] == c[4] -> cycle (A,2)->(B,3)->(C,4)
-    perm_cols = [A, B, C]
     cycles = [[(0, 2), (1, 3), (2, 4)]]  # (column position in perm_cols, row)
-    sigma_values = _sigmas(domain, len(perm_cols), cycles)
+    sigma_values = _sigmas(domain, 3, cycles)
     for sp, vals in zip((S_A, S_B, S_C), sigma_values):
         fixed[sp] = vals
 
@@ -194,7 +219,10 @@ def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
 
     transcript_initial_state = (
         int.from_bytes(
-            keccak256(f"svtpu-standard-plonk{'-zk' if zk else ''}-k{k}".encode()),
+            keccak256(
+                f"svtpu-standard-plonk{'-zk' if zk else ''}-k{k}"
+                f"{'' if T == 1 else f'-t{T}'}".encode()
+            ),
             "big",
         )
         % bn254.R
@@ -203,8 +231,8 @@ def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
     protocol = PlonkProtocol(
         domain=domain,
         preprocessed=preprocessed,
-        num_instance=[1],
-        num_witness=[3, 0, 2 if zk else 1],
+        num_instance=[1] * T,
+        num_witness=[3 * T, 0, (T + 1) if zk else T],
         num_challenge=[1, 2, 1],
         evaluations=evaluations,
         queries=queries,
@@ -213,27 +241,40 @@ def build_standard_plonk(k: int, srs: Srs, zk: bool = False):
     )
 
     def synthesize(instances):
-        x = instances[0][0]
-        a = [0] * n
-        b = [0] * n
-        c = [0] * n
-        a[0] = x
-        a[1] = (-5) % bn254.R
-        a[2] = 1
-        b[3] = 1
-        c[4] = 1
-        return {A: a, B: b, C: c}
+        out = {}
+        for t in range(T):
+            A, B, C = ADV[t]
+            x = instances[t][0]
+            a = [0] * n
+            b = [0] * n
+            c = [0] * n
+            a[0] = x
+            a[1] = (-5) % bn254.R
+            a[2] = 1
+            b[3] = 1
+            c[4] = 1
+            out[A], out[B], out[C] = a, b, c
+        return out
 
+    perms = [
+        PermutationInfo(
+            columns=list(ADV[t]), sigma_polys=[S_A, S_B, S_C], chunk=3
+        )
+        for t in range(T)
+    ]
     pk = ProvingKey(
         protocol=protocol,
         srs=srs,
         fixed_values=fixed,
-        permutation=PermutationInfo(
-            columns=perm_cols, sigma_polys=[S_A, S_B, S_C], chunk=3
-        ),
-        advice_phases=[[A, B, C], [], [Z, RAND] if zk else [Z]],
-        z_polys=[Z],
-        instance_polys=[INSTANCE],
+        permutation=perms[0],
+        permutations=perms,
+        advice_phases=[
+            [p for t in range(T) for p in ADV[t]],
+            [],
+            Z + [RAND] if zk else list(Z),
+        ],
+        z_polys=list(Z),
+        instance_polys=INSTANCE,
         synthesize=synthesize,
         extended_k=k + (3 if zk else 2),
         zk_blinding=BLINDING if zk else 0,
@@ -599,17 +640,28 @@ def build_mock_accumulator_plonk(k: int, srs: Srs):
 def _sigmas(domain, num_cols, cycles):
     """sigma column values: identity mapping with cycle rotations applied."""
     n = domain.n
-    # tag(col, row) = delta^col * omega^row
-    omega_pows = []
-    acc = 1
-    for _ in range(n):
-        omega_pows.append(acc)
-        acc = acc * domain.gen % bn254.R
     delta_pows = [pow(DELTA, c, bn254.R) for c in range(num_cols)]
-    sigma = [[delta_pows[c] * omega_pows[j] % bn254.R for j in range(n)] for c in range(num_cols)]
+    # identity layout tag(col, row) = delta^col * omega^row, vectorized on
+    # the native kernels at scale (2^21-row builder circuits)
+    from snark_verifier_tpu.util import frvec
+
+    if frvec.available() and n >= 4096:
+        base = frvec.FrVec.pow_series(domain.gen, n)
+        sigma = [base.scale(delta_pows[c]).to_ints() for c in range(num_cols)]
+    else:
+        omega_pows = []
+        acc = 1
+        for _ in range(n):
+            omega_pows.append(acc)
+            acc = acc * domain.gen % bn254.R
+        sigma = [
+            [delta_pows[c] * omega_pows[j] % bn254.R for j in range(n)]
+            for c in range(num_cols)
+        ]
     for cycle in cycles:
-        # sigma(cell_i) = tag(cell_{i+1})
-        tags = [delta_pows[c] * omega_pows[j] % bn254.R for c, j in cycle]
+        # sigma(cell_i) = tag(cell_{i+1}); cycles are disjoint, so the
+        # identity tags can be read off sigma before this cycle's writes
+        tags = [sigma[c][j] for c, j in cycle]
         for (c, j), next_tag in zip(cycle, tags[1:] + tags[:1]):
             sigma[c][j] = next_tag
     return sigma

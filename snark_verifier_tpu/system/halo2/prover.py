@@ -108,7 +108,8 @@ def create_proof(
         for idx in advice_polys:
             if idx in pk.z_polys:
                 values[idx] = _permutation_z(
-                    pk, values, challenges, allow_unsatisfied, rng=rng
+                    pk, values, challenges, allow_unsatisfied, rng=rng,
+                    perm=pk.perm_for_z(idx),
                 )
             elif zk_b and idx == getattr(pk, "random_poly", None):
                 values[idx] = [rng.randrange(R) for _ in range(n)]
@@ -168,15 +169,18 @@ def create_proof(
 # ---------------------------------------------------------------------------
 
 
-def _permutation_z(pk, values, challenges, allow_unsatisfied=False, rng=None):
-    """Grand product z for the single-chunk permutation argument.
+def _permutation_z(pk, values, challenges, allow_unsatisfied=False, rng=None,
+                    perm=None):
+    """Grand product z for one single-chunk permutation argument (for
+    num_proof>1 protocols each proof's z gets its own PermutationInfo whose
+    columns are that proof's advice polys; sigmas/challenges are shared).
 
     zk=false: product telescopes over the full domain.  zk (zk_blinding>0):
     the product runs over the active rows 0..u-1 only (u = n-B-1), so
     z[u] == 1 satisfies l_last*(z^2-z); the B tail rows are random
     (halo2's permutation prover blinding)."""
-    perm = pk.permutation
-    assert perm is not None and len(pk.z_polys) == 1, "single z chunk supported"
+    perm = perm or pk.permutation
+    assert perm is not None
     beta, gamma = challenges[-2], challenges[-1]
     domain = pk.protocol.domain
     n = domain.n

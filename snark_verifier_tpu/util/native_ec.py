@@ -38,11 +38,14 @@ def _load():
             so = os.path.abspath(_SO)
             if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
                 os.makedirs(os.path.dirname(so), exist_ok=True)
+                tmp = f"{so}.tmp.{os.getpid()}"
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
+                    ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", tmp, src],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp, so)  # atomic: concurrent builders never
+                # leave a half-written .so for another process to dlopen
             lib = ctypes.CDLL(so)
             lib.bn254_msm.argtypes = [
                 ctypes.POINTER(ctypes.c_uint64),
@@ -158,3 +161,110 @@ def fr_powmul(values, base: int) -> list:
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return _u64_to_ints(arr)
+
+
+# ---------------------------------------------------------------------------
+# v2: threaded vector/MSM kernels (Montgomery numpy buffers end-to-end).
+# Bound lazily on first use; see native/bn254_native.cpp "v2" section.
+# ---------------------------------------------------------------------------
+
+_V2_SIGS = {
+    "fr_vec_to_mont": ("ppn", None),
+    "fr_vec_from_mont": ("ppn", None),
+    "fr_vec_add": ("pppn", None),
+    "fr_vec_sub": ("pppn", None),
+    "fr_vec_mul": ("pppn", None),
+    "fr_vec_scale": ("pppn", None),
+    "fr_vec_add_scaled": ("ppppn", None),
+    "fr_vec_inv": ("ppn", None),
+    "fr_vec_prefix_prod": ("ppn", None),
+    "fr_vec_pow_series": ("ppn", None),
+    "bn254_fr_ntt_mont": ("pUpp", None),
+    "bn254_g1_to_mont_affine": ("ppn", None),
+    "bn254_g1_from_mont_affine": ("ppn", None),
+    "bn254_msm2": ("ppnp", None),
+    "bn254_srs_gen": ("pnp", None),
+    "fr_vec_horner": ("ppnp", None),
+    "fr_vec_div_linear": ("pppnp", None),
+}
+
+_v2_bound = False
+
+
+def _bind_v2(lib):
+    global _v2_bound
+    if _v2_bound:
+        return
+    P64 = ctypes.POINTER(ctypes.c_uint64)
+    codes = {"p": P64, "n": ctypes.c_size_t, "U": ctypes.c_uint64}
+    for name, (argcode, res) in _V2_SIGS.items():
+        fn = getattr(lib, name)
+        fn.argtypes = [codes[c] for c in argcode]
+        fn.restype = res
+    _v2_bound = True
+
+
+def lib_v2():
+    """The loaded library with v2 entry points bound; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_v2(lib)
+    return lib
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def msm2(scalars_u64: np.ndarray, points_mont: np.ndarray):
+    """MSM over pre-converted buffers: scalars (n,4) canonical u64, points
+    (n,8) Montgomery affine.  Returns a canonical affine int pair or None."""
+    lib = lib_v2()
+    n = scalars_u64.shape[0]
+    assert points_mont.shape[0] >= n
+    out = np.zeros(12, np.uint64)
+    lib.bn254_msm2(_ptr(scalars_u64), _ptr(points_mont), n, _ptr(out))
+    x = sum(int(out[i]) << (64 * i) for i in range(4))
+    y = sum(int(out[4 + i]) << (64 * i) for i in range(4))
+    z = sum(int(out[8 + i]) << (64 * i) for i in range(4))
+    return bn254._from_jac((x, y, z) if z else None)
+
+
+def g1_to_mont(points) -> np.ndarray:
+    """Affine int pairs/None -> (n,8) Montgomery u64 array."""
+    n = len(points)
+    arr = np.zeros((n, 8), np.uint64)
+    for i, pt in enumerate(points):
+        if pt is not None:
+            arr[i, :4] = _to_u64_limbs(pt[0])
+            arr[i, 4:] = _to_u64_limbs(pt[1])
+    lib = lib_v2()
+    lib.bn254_g1_to_mont_affine(_ptr(arr), _ptr(arr), n)
+    return arr
+
+
+def g1_from_mont(arr: np.ndarray) -> list:
+    """(n,8) Montgomery u64 array -> affine int pairs/None."""
+    n = arr.shape[0]
+    out = np.empty_like(arr)
+    lib = lib_v2()
+    lib.bn254_g1_from_mont_affine(_ptr(out), _ptr(arr), n)
+    raw = out.tobytes()
+    pts = []
+    for i in range(n):
+        x = int.from_bytes(raw[64 * i : 64 * i + 32], "little")
+        y = int.from_bytes(raw[64 * i + 32 : 64 * i + 64], "little")
+        pts.append(None if x == 0 and y == 0 else (x, y))
+    return pts
+
+
+def srs_gen_mont(tau: int, n: int) -> np.ndarray:
+    """Native SRS generation: (n,8) Montgomery affine points tau^i * G."""
+    lib = lib_v2()
+    if lib is None:
+        raise RuntimeError("native bn254 library unavailable")
+    out = np.zeros((n, 8), np.uint64)
+    t = _quad(tau % bn254.R)
+    lib.bn254_srs_gen(_ptr(t), n, _ptr(out))
+    return out
