@@ -36,10 +36,15 @@ class _UnionFind:
         self.parent = {}
 
     def find(self, x):
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            p = self.parent[x] = self.find(p)
-        return p
+        # iterative with path compression: cycles can chain millions deep in
+        # at-scale circuits (recursion would blow the interpreter stack)
+        parent = self.parent
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
     def union(self, x, y):
         rx, ry = self.find(x), self.find(y)
@@ -181,10 +186,16 @@ class CircuitBuilder:
         k = max(3, (n_rows - 1).bit_length())
         return k
 
-    def build(self, srs, name: str = "halo2-loader-circuit"):
+    def build(self, srs, name: str = "halo2-loader-circuit",
+              accumulator_indices=None):
         """Compile to (protocol, ProvingKey).  Layout mirrors
         build_standard_plonk (circuits.py:82-207) with a dynamic row count
-        and, when range_bits > 0, one halo2-v0.3 lookup argument."""
+        and, when range_bits > 0, one halo2-v0.3 lookup argument.
+
+        `accumulator_indices` marks instance positions carrying KZG
+        accumulator limbs (aggregation circuits expose the folded
+        accumulator as (0, 0..16); sdk halo2/aggregation.rs:387-402) so
+        downstream verifiers decode + decide the old accumulator."""
         from snark_verifier_tpu.system.halo2.circuits import (
             DELTA,
             LookupInfo,
@@ -333,9 +344,11 @@ class CircuitBuilder:
         for sp, vals in zip((S_A, S_B, S_C), sigma_values):
             fixed[sp] = vals
 
+        from snark_verifier_tpu.system.halo2.srs import commit_lagrange
+
         preprocessed = []
         for idx in list(range(nfix)) + [S_A, S_B, S_C]:
-            preprocessed.append(srs.commit(lagrange_to_coeffs(fixed[idx], domain)))
+            preprocessed.append(commit_lagrange(srs, fixed[idx], domain))
 
         transcript_initial_state = (
             int.from_bytes(keccak256(f"svtpu-{name}-k{k}".encode()), "big") % R
@@ -354,6 +367,7 @@ class CircuitBuilder:
             queries=queries,
             quotient=QuotientPolynomial(1, num_chunk, numerator),
             transcript_initial_state=transcript_initial_state,
+            accumulator_indices=accumulator_indices or [],
         )
 
         col_vals = {col: [0] * n for col in range(3)}
