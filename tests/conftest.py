@@ -54,3 +54,17 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test")
     config.addinivalue_line("markers", "tpu: requires real TPU hardware")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop in-memory compiled executables after every test module.
+
+    A full single-process run reliably segfaulted inside XLA:CPU
+    compilation after ~130 tests (compile-state accumulation; every file
+    passes in isolation).  Clearing the in-memory caches between modules
+    keeps the compiler state bounded; recompiles hit the persistent disk
+    cache, so the runtime cost is deserialization only.
+    """
+    yield
+    jax.clear_caches()
