@@ -86,6 +86,17 @@ def main(n_snarks: int = 1):
     prove_s = time.time() - t0
     print(f"[5] OUTER PROOF generated: {len(outer_proof)} bytes ({prove_s:.1f}s)")
 
+    # the same circuit proven with the Keccak transcript — the proof an EVM
+    # contract verifies on-chain (examples/evm_verifier_with_accumulator.py)
+    t0 = time.time()
+    outer_proof_evm = gen_proof(
+        pk_outer, [exposed], "gwc",
+        cache_name=f"agg_e2e_{n_snarks}x{INNER_K}_k{protocol_outer.domain.k}_evm",
+        transcript_kind="evm",
+    )
+    print(f"[5b] EVM-transcript outer proof: {len(outer_proof_evm)} bytes "
+          f"({time.time()-t0:.1f}s)")
+
     # ---- verify + decide the outer snark --------------------------------------
     t0 = time.time()
     loader = NativeLoader()
@@ -127,6 +138,7 @@ def main(n_snarks: int = 1):
         "protocol": protocol_to_json(protocol_outer),
         "instances": [hex(v) for v in exposed],
         "proof": outer_proof.hex(),
+        "proof_evm": outer_proof_evm.hex(),
         "dk": {
             "svk": [hex(c) for c in dk.svk],
             "g2": [[hex(c) for c in pair] for pair in dk.g2],
@@ -146,8 +158,85 @@ def main(n_snarks: int = 1):
     return prove_s
 
 
+def two_level():
+    """Aggregate the aggregator (test/kzg/halo2.rs:372-385 parity): the
+    proven outer snark (from the level-1 fixture) is verified INSIDE a new
+    aggregation circuit — its old accumulator decoded from its instances
+    in-circuit (ec_point_from_limbs) — and that level-2 circuit is proven
+    and decided in turn."""
+    import json
+
+    from snark_verifier_tpu.pcs.kzg.decider import KzgDecidingKey, decide
+    from snark_verifier_tpu.sdk.halo2 import Snark
+    from snark_verifier_tpu.verifier.plonk.serialization import protocol_from_json
+
+    t_all = time.time()
+    fx_path = os.path.join(
+        os.path.dirname(__file__), "..", "tests", "golden",
+        "aggregation_outer_1snark.json",
+    )
+    with open(fx_path) as f:
+        obj = json.load(f)
+    outer = Snark(
+        protocol_from_json(obj["protocol"]),
+        [[int(v, 16) for v in obj["instances"]]],
+        bytes.fromhex(obj["proof"]),
+    )
+    dk = KzgDecidingKey(
+        svk=tuple(int(c, 16) for c in obj["dk"]["svk"]),
+        g2=tuple(tuple(int(c, 16) for c in pair) for pair in obj["dk"]["g2"]),
+        s_g2=tuple(tuple(int(c, 16) for c in pair) for pair in obj["dk"]["s_g2"]),
+    )
+    print(f"[L2-1] level-1 outer snark loaded ({len(outer.proof)} bytes)")
+
+    native = aggregate_native(KzgGwc, dk.svk, [outer])
+    assert len(native.snark_accumulators) == 2  # fresh + decoded old
+    assert decide(dk, native.accumulator) is True
+    print("[L2-2] native pre-pass: fresh + decoded-old folded, decided")
+
+    t0 = time.time()
+    builder = CircuitBuilder(range_bits=17)
+    builder, exposed = aggregate_in_circuit(
+        KzgGwc, dk.svk, [outer], as_proof=native.as_proof, builder=builder
+    )
+    assert exposed == native.instances
+    print(f"[L2-3] level-2 verifier synthesized: {len(builder.rows)} rows, "
+          f"k={builder.k()} ({time.time()-t0:.1f}s)")
+
+    srs_outer = gen_srs(max(OUTER_SRS_K, builder.k()))
+    t0 = time.time()
+    protocol2, pk2 = builder.build(
+        srs_outer, name="aggregation-two-level",
+        accumulator_indices=[[(0, i) for i in range(16)]],
+    )
+    print(f"[L2-4] compiled k={protocol2.domain.k} ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    proof2 = gen_proof(pk2, [exposed], "gwc",
+                       cache_name=f"agg_e2e_two_level_k{protocol2.domain.k}",
+                       transcript_kind="poseidon")
+    prove_s = time.time() - t0
+    print(f"[L2-5] LEVEL-2 PROOF generated: {len(proof2)} bytes ({prove_s:.1f}s)")
+
+    loader = NativeLoader()
+    verifier = PlonkVerifier(KzgGwc)
+    dk2 = srs_outer.decider_key()
+    loaded = protocol2.loaded(loader)
+    ins = [[loader.load_const(v) for v in col] for col in [exposed]]
+    transcript = NativePoseidonTranscript(proof2, loader)
+    p2 = verifier.read_proof(dk2, loaded, ins, transcript)
+    assert len(p2.old_accumulators) == 1
+    assert verifier.verify(dk2, loaded, ins, p2) is True
+    print(f"[L2-6] level-2 snark VERIFIED + DECIDED "
+          f"(two recursion levels closed, {time.time()-t_all:.1f}s total)")
+    return prove_s
+
+
 if __name__ == "__main__":
     n = 1
     if "--snarks" in sys.argv:
         n = int(sys.argv[sys.argv.index("--snarks") + 1])
-    main(n)
+    if "--two-level" in sys.argv:
+        two_level()
+    else:
+        main(n)

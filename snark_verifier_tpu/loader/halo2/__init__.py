@@ -47,6 +47,32 @@ class Halo2Loader(Loader):
         """Make an assigned scalar a public instance of the circuit."""
         self.builder.expose_public(scalar.value.cell, scalar.value.value)
 
+    def ec_point_from_limbs(self, scalars, limbs: int, bits: int) -> EcPoint:
+        """In-circuit LimbsEncoding decode (accumulator.rs:133-262): witness
+        the point (on-curve constrained, limb range checks via assign_point)
+        and copy-constrain each coordinate limb cell to the corresponding
+        limb scalar cell — the halo2 `LimbsEncodingInstructions` role.  This
+        is what lets an aggregation circuit verify another AGGREGATION snark
+        (two-level recursion): the inner-old accumulator decoded from the
+        verified snark's instances inside the circuit."""
+        from snark_verifier_tpu.loader.halo2.integer import BITS as GADGET_BITS
+        from snark_verifier_tpu.loader.halo2.integer import LIMBS as GADGET_LIMBS
+        from snark_verifier_tpu.loader.halo2.integer import from_limbs
+
+        assert limbs == GADGET_LIMBS and bits == GADGET_BITS, (
+            "accumulator limb encoding must match the integer gadget split"
+        )
+        vals = [s.value.value for s in scalars]
+        x = from_limbs(vals[:limbs]) % bn254.P
+        y = from_limbs(vals[limbs : 2 * limbs]) % bn254.P
+        pt = self.ecc_chip.assign_point(self.ctx, (x, y))
+        for coord, off in ((pt.x, 0), (pt.y, limbs)):
+            for i in range(limbs):
+                self.ctx.constrain_equal(
+                    coord.limbs[i].cell, scalars[off + i].value.cell
+                )
+        return EcPoint(self, pt)
+
     # -- cost metering (loader.rs:269-273; halo2 impl loader.rs:272-295) ------
     def start_cost_metering(self, identifier: str):
         """Record the row offset; end_cost_metering logs the delta."""

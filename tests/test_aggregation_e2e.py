@@ -134,3 +134,34 @@ def test_regenerate_and_close_loop():
 
     prove_s = main(1)
     assert prove_s > 0
+
+
+def test_outer_snark_evm_verified(fixture):
+    """The REAL aggregated snark verified on-chain (test/kzg/evm.rs:125-140
+    parity, no mock): contract recomposes the folded inner accumulator from
+    the instance limbs, folds with the fresh accumulator, one ecPairing."""
+    import json
+
+    with open(FIXTURE) as f:
+        obj = json.load(f)
+    if "proof_evm" not in obj:
+        pytest.skip("fixture lacks the EVM-transcript proof; regenerate")
+    proof_evm = bytes.fromhex(obj["proof_evm"])
+    protocol, instances, _, dk = fixture
+
+    from snark_verifier_tpu.sdk.evm import evm_verify, gen_evm_verifier
+
+    verifier = gen_evm_verifier(protocol, KzgGwc, dk)
+    assert verifier.solidity.count("staticcall(gas(), 0x8") == 1  # ONE pairing
+    gas = evm_verify(verifier, instances, proof_evm)
+    assert gas > 21000
+
+    bad = bytearray(proof_evm)
+    bad[31] ^= 1
+    with pytest.raises(Exception):
+        evm_verify(verifier, instances, bytes(bad))
+
+    bad_limbs = [list(instances[0])]
+    bad_limbs[0][5] ^= 1
+    with pytest.raises(Exception):
+        evm_verify(verifier, bad_limbs, proof_evm)
