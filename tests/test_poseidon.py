@@ -178,3 +178,73 @@ def test_spec_from_constants_import_hook():
     s3 = PoseidonSponge(other)
     s3.update([1, 2, 3])
     assert s3.squeeze() != s1.squeeze()
+
+
+# ---------------------------------------------------------------------------
+# optimized sparse-MDS form (reference poseidon.rs:35-110 evaluation form)
+# ---------------------------------------------------------------------------
+
+
+def test_optimized_permutation_bit_equal_raw():
+    import random
+
+    from snark_verifier_tpu.util import bn254
+    from snark_verifier_tpu.util import poseidon as pos
+    from snark_verifier_tpu.util.poseidon_opt import (
+        optimize_spec,
+        permutation_optimized,
+    )
+
+    spec = pos.default_spec()
+    opt = optimize_spec(spec)
+    # every partial round's matrix really is sparse: t-row + (t-1) col
+    assert len(opt.sparse) == spec.r_p
+    rng = random.Random(5)
+    for _ in range(2):
+        state = [rng.randrange(bn254.R) for _ in range(spec.t)]
+        for ninp in (0, 1, 4):
+            inputs = [rng.randrange(bn254.R) for _ in range(ninp)]
+            assert pos.permutation(spec, state, inputs) == permutation_optimized(
+                opt, state, inputs
+            )
+
+
+def test_optimized_loader_sponge_matches_raw_sponge():
+    """The loader-generic optimized sponge (used in-circuit) returns the
+    same squeezed values as the raw-form sponge and the int sponge."""
+    import random
+
+    from snark_verifier_tpu.loader.native import NativeLoader
+    from snark_verifier_tpu.util import bn254
+    from snark_verifier_tpu.util import poseidon as pos
+
+    rng = random.Random(6)
+    vals = [rng.randrange(bn254.R) for _ in range(7)]
+
+    plain = pos.PoseidonSponge()
+    plain.update(vals)
+    want = plain.squeeze()
+
+    loader = NativeLoader()
+    for optimized in (False, True):
+        sp = pos.LoaderPoseidonSponge(loader, optimized=optimized)
+        sp.update([loader.load_const(v) for v in vals])
+        assert sp.squeeze().value == want
+
+
+def test_optimized_form_saves_in_circuit_rows():
+    """Row metering: the sparse form must cost measurably fewer rows per
+    permutation under the Halo2Loader (the reason the reference uses it)."""
+    from snark_verifier_tpu.loader.halo2 import Halo2Loader
+    from snark_verifier_tpu.loader.halo2.builder import StreamingChecker
+    from snark_verifier_tpu.util import poseidon as pos
+
+    def rows(optimized):
+        loader = Halo2Loader(builder=StreamingChecker())
+        sp = pos.LoaderPoseidonSponge(loader, optimized=optimized)
+        sp.update([loader.assign_scalar(i + 1) for i in range(4)])
+        sp.squeeze()
+        return loader.builder.n_rows
+
+    raw, opt = rows(False), rows(True)
+    assert opt < raw * 0.8, f"sparse form should save rows: {opt} vs {raw}"
