@@ -180,7 +180,7 @@ def _msm_bench(configs):
     from snark_verifier_tpu.ops.limbs import ints_to_limbs
     from snark_verifier_tpu.util import bn254 as bn
 
-    logn = int(os.environ.get("BENCH_MSM_LOGN", "16"))
+    logn = int(os.environ.get("BENCH_MSM_LOGN", "20"))
     n = 1 << logn
     rng = random.Random(0)
     base = [bn.g1_mul(bn.G1_GEN, i + 1) for i in range(64)]
@@ -188,7 +188,10 @@ def _msm_bench(configs):
     scal = jnp.asarray(
         np.tile(ints_to_limbs([rng.randrange(bn.R) for _ in range(64)]), (n // 64, 1))
     )
-    # logn >= 18: the (nwin, n) working set would blow HBM — window-chunked
+    # logn >= 18: the (nwin, n) working set would blow HBM — window-chunked.
+    # w=8 beats w=16 here: per-level bucket flushes cost ~log2(n)*nbuckets
+    # adds per window, which at w=16 rivals the run-reduction itself
+    # (PERF.md round-3 notes).
     msm = (
         M.msm_serial
         if logn < 18

@@ -147,6 +147,44 @@ def _columns(a, b, mat):
     return cols.astype(jnp.uint32)
 
 
+_UNROLL_CACHE = None
+
+
+def _unroll(shape=None):
+    """Unroll factor for the 16-step limb scans.
+
+    Through the axon TPU runtime each while-loop iteration costs ~20 us of
+    fixed overhead, so at SMALL batch a single mont_mul (~144 scan
+    iterations) was ~3.5 ms regardless of tensor size; 4x-unrolled it is
+    ~1 ms (full unroll OOM-kills the remote TPU compile helper on
+    scan-of-switch graphs).  The unroll is scoped to small batches
+    (< 4096 elements — the pairing/decide path): wide batched-verifier
+    graphs amortize the loop overhead across lanes and keeping them rolled
+    preserves compile time and existing compile-cache entries.  On CPU the
+    loops always stay rolled (cold suite compile time dominates there).
+    SVTPU_UNROLL_LIMBS=<n> overrides the factor for every shape."""
+    global _UNROLL_CACHE
+    if _UNROLL_CACHE is None:
+        import os
+
+        flag = os.environ.get("SVTPU_UNROLL_LIMBS")
+        if flag is not None:
+            _UNROLL_CACHE = ("env", int(flag))
+        elif jax.default_backend() != "cpu":
+            _UNROLL_CACHE = ("auto", 4)
+        else:
+            _UNROLL_CACHE = ("auto", 1)
+    mode, factor = _UNROLL_CACHE
+    if mode == "env" or factor == 1:
+        return factor
+    if shape is None:
+        return factor
+    n = 1
+    for d in shape[:-1]:
+        n *= int(d)
+    return factor if n < 4096 else 1
+
+
 def _carry(cols, n_out=None):
     """Resolve column sums (< 2^22 each) into exact limbs.
 
@@ -161,7 +199,10 @@ def _carry(cols, n_out=None):
         return t >> LIMB_BITS, t & LIMB_MASK
 
     cols_t = jnp.moveaxis(cols, -1, 0)
-    carry, limbs_t = jax.lax.scan(step, jnp.zeros(cols.shape[:-1], jnp.uint32), cols_t)
+    carry, limbs_t = jax.lax.scan(
+        step, jnp.zeros(cols.shape[:-1], jnp.uint32), cols_t,
+        unroll=_unroll(cols.shape)
+    )
     limbs = jnp.moveaxis(limbs_t, 0, -1)
     return limbs[..., :n_out], carry
 
@@ -179,7 +220,10 @@ def _sub_limbs(a, b):
 
     at = jnp.moveaxis(a, -1, 0)
     bt = jnp.moveaxis(b, -1, 0)
-    borrow, out_t = jax.lax.scan(step, jnp.zeros(a.shape[:-1], jnp.uint32), (at, bt))
+    borrow, out_t = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], jnp.uint32), (at, bt),
+        unroll=_unroll(a.shape)
+    )
     return jnp.moveaxis(out_t, 0, -1), borrow
 
 
@@ -193,7 +237,10 @@ def _add_limbs(a, b):
 
     at = jnp.moveaxis(a, -1, 0)
     bt = jnp.moveaxis(b, -1, 0)
-    carry, out_t = jax.lax.scan(step, jnp.zeros(a.shape[:-1], jnp.uint32), (at, bt))
+    carry, out_t = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], jnp.uint32), (at, bt),
+        unroll=_unroll(a.shape)
+    )
     return jnp.moveaxis(out_t, 0, -1), carry
 
 

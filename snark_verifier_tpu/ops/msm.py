@@ -314,18 +314,63 @@ def _window_digits(scalars_canon, window, nwin, nbuckets):
 
 
 def _g1_suffix_scan(buckets: G1) -> G1:
-    """Suffix sums S'_b = sum_{c >= b} S_c via a log-round Hillis–Steele fold."""
+    """Suffix sums S'_b = sum_{c >= b} S_c.
+
+    Work-efficient Blelloch scan on the reversed axis: ~3n adds total
+    (up-sweep n-1, down-sweep n-1, inclusive combine n) instead of the
+    previous Hillis-Steele fold's n*log2(n) — at window >= 12 the bucket
+    aggregation otherwise rivals the run-reduction itself."""
     n = buckets.x.shape[0]
-    rounds = max(1, int(np.ceil(np.log2(n))))
-    strides = jnp.asarray([1 << r for r in range(rounds)], jnp.int32)
-    pos = jnp.arange(n, dtype=jnp.int32)
+    assert n & (n - 1) == 0, "bucket count is a power of two"
 
-    def round_step(cur: G1, stride):
-        src = jnp.minimum(pos + stride, n - 1)
-        valid = pos + stride <= n - 1
-        valid = valid.reshape((n,) + (1,) * (cur.x.ndim - 2))
-        moved = G1(cur.x[src], cur.y[src], cur.z[src])
-        return C.g1_add_select(valid, cur, moved), None
+    def rev(p: G1) -> G1:
+        return G1(p.x[::-1], p.y[::-1], p.z[::-1])
 
-    out, _ = jax.lax.scan(round_step, buckets, strides)
-    return out
+    def blocks(p: G1, m: int):
+        def r(a):
+            return a.reshape((n // m, m) + a.shape[1:])
+
+        return G1(r(p.x), r(p.y), r(p.z))
+
+    def unblocks(p: G1):
+        def r(a):
+            return a.reshape((n,) + a.shape[2:])
+
+        return G1(r(p.x), r(p.y), r(p.z))
+
+    def col(p: G1, j: int):
+        return G1(p.x[:, j], p.y[:, j], p.z[:, j])
+
+    def set_col(p: G1, j: int, v: G1):
+        def s(a, b):
+            return jnp.concatenate([a[:, :j], b[:, None], a[:, j + 1 :]], axis=1)
+
+        return G1(s(p.x, v.x), s(p.y, v.y), s(p.z, v.z))
+
+    orig = rev(buckets)
+    x = orig
+    logn = n.bit_length() - 1
+    # up-sweep (reduce)
+    for d in range(logn):
+        m = 2 << d
+        b = blocks(x, m)
+        s = C.g1_add(col(b, m // 2 - 1), col(b, m - 1))
+        x = unblocks(set_col(b, m - 1, s))
+    # root <- identity, down-sweep
+    ident1 = C.g1_identity((1,) + buckets.batch_shape[1:])
+    x = G1(
+        jnp.concatenate([x.x[: n - 1], ident1.x], axis=0),
+        jnp.concatenate([x.y[: n - 1], ident1.y], axis=0),
+        jnp.concatenate([x.z[: n - 1], ident1.z], axis=0),
+    )
+    for d in range(logn - 1, -1, -1):
+        m = 2 << d
+        b = blocks(x, m)
+        left = col(b, m // 2 - 1)
+        right = col(b, m - 1)
+        b = set_col(b, m // 2 - 1, right)
+        b = set_col(b, m - 1, C.g1_add(left, right))
+        x = unblocks(b)
+    # x is the exclusive prefix of the reversed array; inclusive = + orig
+    incl = C.g1_add(x, orig)
+    return rev(incl)

@@ -405,7 +405,28 @@ def kzg_pairing_check(lhs, rhs, g2, s_g2):
     than one jit — XLA's compile time on the fused Miller+final-exp graph is
     pathological (tens of minutes) while the stages compile in seconds each.
     Do not wrap this in an outer jit.
+
+    Small 1-D batches are padded to 8: the compiled B=1 layout is
+    pathologically slow on the TPU backend (measured 8.6 s vs 2.6 s at
+    B>=4 warm), and padding also makes B=1..8 share one compiled shape.
     """
+    shape = lhs.x.shape[:-1]
+    if len(shape) == 1 and shape[0] < 8:
+        B = shape[0]
+
+        def pad(p):
+            reps = [1] * p.x.ndim
+            reps[0] = 8 - B
+
+            def ext(a):
+                return jnp.concatenate([a, jnp.tile(a[:1], reps)], axis=0)
+
+            from snark_verifier_tpu.ops.curve import G1 as _G1
+
+            return _G1(ext(p.x), ext(p.y), ext(p.z))
+
+        return kzg_pairing_check(pad(lhs), pad(rhs), g2, s_g2)[:B]
+
     lhs_n = CRV.g1_normalize(lhs)
     rhs_n = CRV.g1_normalize(rhs)
     lhs_inf = CRV.g1_is_identity(lhs)
