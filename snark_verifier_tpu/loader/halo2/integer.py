@@ -123,19 +123,31 @@ class IntegerChip:
                 cell = Cell(0, row)
             return AssignedInteger(cell, value)
 
+        # two chunks per fold row: chunk 2i range-checked on the a-wire,
+        # chunk 2i+1 on the b-wire (second lookup argument), accumulator on
+        # d/e — a full 68-bit limb costs 2 rows
         acc_val, acc_cell, shift = 0, None, 0
-        for c, take in chunks:
-            pre = chunk_cell(c, take)
-            new_val = (acc_val + (c << shift)) % R
-            kw = dict(qa=(1 << shift) % R, qc=-1, a=c, c=new_val)
-            if pre is not None:
-                kw["copy_a"] = pre
-            else:
-                kw["range_a"] = True
+        for i in range(0, len(chunks), 2):
+            pair = chunks[i : i + 2]
+            kw = {}
+            new_val = acc_val
+            for (c, take), slot, flag in zip(
+                pair, ("a", "b"), ("range_a", "range_b")
+            ):
+                pre = chunk_cell(c, take)
+                kw[f"q{slot}"] = (1 << shift) % R
+                kw[slot] = c
+                if pre is not None:
+                    kw[f"copy_{slot}"] = pre
+                else:
+                    kw[flag] = True
+                new_val = (new_val + (c << shift)) % R
+                shift += take
+            kw.update(qe=-1, e=new_val)
             if acc_cell is not None:
-                kw.update(qb=1, b=acc_val, copy_b=acc_cell)
+                kw.update(qd=1, d=acc_val, copy_d=acc_cell)
             row = b.new_row(**kw)
-            acc_cell, acc_val, shift = Cell(2, row), new_val, shift + take
+            acc_cell, acc_val = Cell(4, row), new_val
         return AssignedInteger(acc_cell, value)
 
     def range_check(self, ctx: Context, cell: AssignedInteger, bits: int):

@@ -192,3 +192,57 @@ def test_metrics_registry():
     assert {"metric": "unit.test", "count": 2} in lines
     assert any(l["metric"] == "unit.timer" and l["n"] == 1 for l in lines)
     metrics.reset()
+
+
+def test_golden_lookup_zk_serde_layout():
+    """The serde-layout fixture extended past the plain-gate case (VERDICT
+    r2): a zk lookup protocol — multiple witness phases, theta/beta/gamma
+    challenges, permuted-column and grand-product queries with negative
+    rotations, l_last/l_blind lagranges — round-trips through the serde
+    wire layout byte-for-byte and re-verifies a fresh proof."""
+    import json
+    import os
+
+    from snark_verifier_tpu.loader.native import NativeLoader
+    from snark_verifier_tpu.pcs.kzg import KzgGwc
+    from snark_verifier_tpu.system.halo2.circuits import build_lookup_plonk
+    from snark_verifier_tpu.system.halo2.prover import create_proof
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+    from snark_verifier_tpu.system.halo2.transcript import NativeEvmTranscript
+    from snark_verifier_tpu.verifier.plonk import PlonkVerifier
+    from snark_verifier_tpu.verifier.plonk.serialization import (
+        protocol_from_json,
+        protocol_to_json,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "protocol_lookup_zk_k4.json"
+    )
+    with open(path) as f:
+        doc = json.load(f)
+    p = protocol_from_json(doc)
+
+    # multi-phase layout: 3 witness phases, 4 challenges over 3 phases
+    assert p.num_witness == [3, 2, 3]
+    assert p.num_challenge == [1, 2, 1]
+    # lookup queries include the permuted-input prev-rotation
+    assert any(q.rotation.value == -1 for q in p.queries)
+    # zk: l_last/l_blind negative lagranges in the quotient
+    lag = p.quotient.numerator.used_lagrange()
+    assert min(lag) < 0 and 0 in lag
+    assert protocol_to_json(p) == doc
+
+    # the imported protocol must accept a freshly generated proof
+    import random
+
+    srs = gen_srs(4)
+    _, pk = build_lookup_plonk(4, srs, zk=True)
+    proof = create_proof(pk, [[77]], "gwc", rng=random.Random(3))
+    loader = NativeLoader()
+    verifier = PlonkVerifier(KzgGwc)
+    dk = srs.decider_key()
+    loaded = p.loaded(loader)
+    ins = [[loader.load_const(77)]]
+    transcript = NativeEvmTranscript(proof, loader)
+    pr = verifier.read_proof(dk, loaded, ins, transcript)
+    assert verifier.verify(dk, loaded, ins, pr) is True

@@ -55,7 +55,7 @@ def test_integer_chip_detects_tampering():
     # a copy constraint
     row = len(b.rows) - 3
     vals = list(b.rows[row])
-    vals[5] = (vals[5] + 1) % bn.R
+    vals[7] = (vals[7] + 1) % bn.R  # advice column a (5-wire row layout)
     b.rows[row] = tuple(vals)
     assert b.check_witness() != []
 
