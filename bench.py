@@ -59,11 +59,15 @@ def _detail(d):
     sys.stderr.flush()
 
 
+_TOTAL_COMPILE = [0.0]
+
+
 def _bench_fn(fn, *args, iters=ITERS):
     """Returns (best_seconds, first_output, compile_seconds)."""
     t0 = time.time()
     out = _sync(fn(*args))
     compile_s = time.time() - t0
+    _TOTAL_COMPILE[0] += compile_s
     times = []
     for _ in range(iters):
         t0 = time.time()
@@ -160,6 +164,22 @@ def main():
     if os.environ.get("BENCH_KERNELS"):
         _sol_bench(configs)
 
+    # flagship recursion metrics recorded by examples/aggregation_e2e.py
+    # (the k=20 aggregation circuit proven by the threaded native prover)
+    fx = os.path.join(
+        os.path.dirname(__file__), "tests", "golden",
+        "aggregation_outer_1snark.json",
+    )
+    if os.path.exists(fx):
+        import json as _json
+
+        with open(fx) as f:
+            agg = _json.load(f)
+        configs["aggregation_prove_s"] = agg.get("prove_s")
+        configs["aggregation_rows"] = agg.get("rows")
+        configs["aggregation_outer_k"] = agg.get("outer_k")
+
+    configs["total_compile_s"] = round(_TOTAL_COMPILE[0], 1)
     result = {
         "metric": "halo2_kzg_gwc_succinct_verify_throughput",
         "value": round(primary, 2),
