@@ -158,10 +158,13 @@ def _unroll(shape=None):
     iterations) was ~3.5 ms regardless of tensor size; 4x-unrolled it is
     ~1 ms (full unroll OOM-kills the remote TPU compile helper on
     scan-of-switch graphs).  The unroll is scoped to small batches
-    (< 4096 elements — the pairing/decide path): wide batched-verifier
-    graphs amortize the loop overhead across lanes and keeping them rolled
-    preserves compile time and existing compile-cache entries.  On CPU the
-    loops always stay rolled (cold suite compile time dominates there).
+    (< 1024 elements — the pairing/decide path, whose stacked-Fq12 shapes
+    sit in the low hundreds): wide batched-verifier graphs amortize the
+    loop overhead across lanes, and keeping them rolled preserves compile
+    time — the round-3 threshold of 4096 caught the B=1820 batched
+    verifier and DOUBLED its cold compile (291 s -> 663 s, BENCH_r03
+    timeout) for a ~4% runtime gain.  On CPU the loops always stay rolled
+    (cold suite compile time dominates there).
     SVTPU_UNROLL_LIMBS=<n> overrides the factor for every shape."""
     global _UNROLL_CACHE
     if _UNROLL_CACHE is None:
@@ -182,7 +185,7 @@ def _unroll(shape=None):
     n = 1
     for d in shape[:-1]:
         n *= int(d)
-    return factor if n < 4096 else 1
+    return factor if n < 1024 else 1
 
 
 def _carry(cols, n_out=None):
