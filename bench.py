@@ -276,7 +276,10 @@ def _sol_bench(configs):
     from snark_verifier_tpu.util import bn254 as bn
 
     rng = random.Random(0)
-    B = int(os.environ.get("BENCH_KERNEL_BATCH", "65536"))
+    # 32768 = the Pallas kernels' base lane tier; the 65536 tier measured
+    # ~1.7x worse per lane for g1_add (round-4 probes), so report the tier
+    # the MSM/verifier paths actually fill.
+    B = int(os.environ.get("BENCH_KERNEL_BATCH", "32768"))
     K = int(os.environ.get("BENCH_KERNEL_CHAIN", "32"))
 
     def timeit_chain(step, init, reps=3):

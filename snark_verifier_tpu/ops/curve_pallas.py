@@ -27,10 +27,19 @@ from snark_verifier_tpu.ops.limbs import NLIMB
 
 
 def _mul_b3(t, mod128):
-    t2 = tadd(t, t, mod128)
-    t4 = tadd(t2, t2, mod128)
-    t8 = tadd(t4, t4, mod128)
-    return tadd(t8, t, mod128)
+    """9*t (3*b with b=3) as a packed add chain: one pack/unpack pair for
+    the four mod-adds instead of one per add (field_pallas packed fabric)."""
+    pmod = FP._pmod(mod128, t.shape)
+    pt = FP._pack(t)
+
+    def step(x, y):
+        s, c = FP._padd_raw(x, y)
+        return FP._pcond_sub_mod(s, pmod, extra=c)
+
+    p2 = step(pt, pt)
+    p4 = step(p2, p2)
+    p8 = step(p4, p4)
+    return FP._unpack(step(p8, pt))
 
 
 def _add_core(x1, y1, z1, x2, y2, z2, mod, npr):

@@ -178,35 +178,61 @@ def msm_serial(points: G1, scalars_canon, window: int = 8) -> G1:
 def _bucket_totals(pts_pad: G1, dig, nbuckets: int) -> G1:
     """Steps 1-3 of the window-parallel Pippenger: per-window argsort,
     pairwise tree reduction of sorted digit runs into buckets, weighted
-    suffix-scan aggregation.  dig: (nwin, n) -> per-window totals (nwin,)."""
+    suffix-scan aggregation.  dig: (nwin, n) -> per-window totals (nwin,).
+
+    Flush placement is GATHER-based (round 4): XLA scatter on TPU
+    serializes per update and the per-level flush scatters cost ~half the
+    2^20 MSM wall time despite carrying <=255 real flushes per level.
+    Because the digit runs are sorted and contiguous, a run of digit b can
+    complete at most ONCE per level (only its last even-position element
+    can face a different successor), so the flush position for bucket b is
+    recoverable with an i32 cumsum of flush markers + a batched
+    searchsorted + a 256-wide gather — no scatter anywhere."""
     nwin, n = dig.shape
-    order = jnp.argsort(dig, axis=1)  # (nwin, n)
-    seg = jnp.take_along_axis(dig, order, axis=1).astype(jnp.int32)
+    idx_bits = max(1, (n - 1).bit_length())
+    dig_bits = max(1, int(nbuckets - 1).bit_length())
+    if idx_bits + dig_bits <= 32:
+        # single-operand sort of (digit << idx_bits | index) packed keys —
+        # measurably cheaper than argsort's key/value pair sort (round 4)
+        iota = jnp.arange(n, dtype=jnp.uint32)[None, :]
+        sk = jax.lax.sort((dig << idx_bits) | iota, dimension=1)
+        order = (sk & ((1 << idx_bits) - 1)).astype(jnp.int32)
+        seg = (sk >> idx_bits).astype(jnp.int32)
+    else:
+        order = jnp.argsort(dig, axis=1)  # (nwin, n)
+        seg = jnp.take_along_axis(dig, order, axis=1).astype(jnp.int32)
     cur = G1(pts_pad.x[order], pts_pad.y[order], pts_pad.z[order])
     ident_cur = C.g1_identity((nwin, n))
     cur = C.g1_select(seg == 0, ident_cur, cur)
 
     buckets = C.g1_identity((nwin, nbuckets))
-    rows = jnp.arange(nwin, dtype=jnp.int32)[:, None]
+    bvals = jnp.arange(nbuckets, dtype=jnp.int32)
 
-    def flush_into(buckets, flush: G1, tgt):
-        # disjoint within a level; sentinel (tgt >= nbuckets) entries are
-        # remapped out of range so mode="drop" discards them
-        flat = jnp.where(
-            tgt >= nbuckets, nwin * nbuckets, rows * nbuckets + tgt
-        ).reshape(-1)
-        ident = C.g1_identity((nwin * nbuckets,))
-        scat = G1(
-            ident.x.at[flat].set(flush.x.reshape(-1, NLIMB), mode="drop"),
-            ident.y.at[flat].set(flush.y.reshape(-1, NLIMB), mode="drop"),
-            ident.z.at[flat].set(flush.z.reshape(-1, NLIMB), mode="drop"),
+    def flush_into(buckets, flush: G1, seg_e, valid):
+        """buckets[w, b] += flush[w, j] for the unique valid j with
+        seg_e[w, j] == b (if any).  seg_e is non-decreasing per row."""
+        m = seg_e.shape[1]
+        # position index: S[w, j] = sum_{i<=j} valid * (i+1), u32 — the
+        # prefix may wrap for huge n, but the [lo, hi) difference holds at
+        # most ONE marker (< 2^31), so the wrapped difference is exact
+        s = jnp.cumsum(
+            jnp.where(valid, jnp.arange(1, m + 1, dtype=jnp.uint32), jnp.uint32(0)),
+            axis=1,
         )
-        scat = G1(
-            scat.x.reshape(nwin, nbuckets, NLIMB),
-            scat.y.reshape(nwin, nbuckets, NLIMB),
-            scat.z.reshape(nwin, nbuckets, NLIMB),
+        s = jnp.concatenate([jnp.zeros((nwin, 1), jnp.uint32), s], axis=1)
+        # run bounds of digit b among the seg_e row (batched searchsorted)
+        lo = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(seg_e)
+        hi = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="right"))(seg_e)
+        pos1 = jnp.take_along_axis(s, hi, axis=1) - jnp.take_along_axis(s, lo, axis=1)
+        present = pos1 > 0  # (nwin, nbuckets)
+        pos = jnp.maximum(pos1.astype(jnp.int32) - 1, 0)
+        picked = G1(
+            jnp.take_along_axis(flush.x, pos[..., None], axis=1),
+            jnp.take_along_axis(flush.y, pos[..., None], axis=1),
+            jnp.take_along_axis(flush.z, pos[..., None], axis=1),
         )
-        return C.g1_add(buckets, scat)
+        # present ? buckets + picked : buckets, fused
+        return C.g1_add_select(present, buckets, picked)
 
     m = n
     while m > 1:
@@ -217,12 +243,12 @@ def _bucket_totals(pts_pad: G1, dig, nbuckets: int) -> G1:
         # same ? odd+even : odd, fused (complete add is symmetric in p, q)
         cur = C.g1_add_select(same, odd, even)
         # a pair crossing a run boundary completes seg_e's run: flush it
-        tgt = jnp.where(same, nbuckets, seg_e)  # nbuckets = dropped sentinel
-        buckets = flush_into(buckets, even, tgt)
+        buckets = flush_into(buckets, even, seg_e, ~same)
         seg = seg_o
         m //= 2
 
-    buckets = flush_into(buckets, cur, seg)  # the last surviving run per row
+    # the last surviving run per row
+    buckets = flush_into(buckets, cur, seg, jnp.ones_like(seg, jnp.bool_))
 
     # weighted bucket aggregation: sum_b b*S_b = sum_{b>=1} suffix_b
     suffix = _g1_suffix_scan(

@@ -81,6 +81,20 @@ def test_msm_serial_chunked_matches():
     assert got2[0] == exp
 
 
+def test_msm_all_equal_scalars():
+    """One giant digit run per window — the adversarial case for the
+    gather-based flush (exactly one run completes per level, at the padded
+    boundary) and for the packed single-key sort (maximal equal keys)."""
+    n = 50
+    pts = [bn.g1_mul(bn.G1_GEN, i + 3) for i in range(n)]
+    scalars = [123456789] * n
+    p = C.g1_from_affine_ints(pts)
+    s = jnp.asarray(ints_to_limbs(scalars))
+    got = C.g1_to_affine_ints(M.msm_serial(p, s, 8))
+    exp = bn.g1_msm(scalars, pts)
+    assert got[0] == exp
+
+
 def test_msm_equal_points_collide():
     # duplicated points and duplicated scalars stress bucket segmentation
     pt = bn.g1_mul(bn.G1_GEN, 5)

@@ -54,6 +54,26 @@ def test_jax_permutation_matches_oracle():
     assert got == exp
 
 
+def test_jax_permutation_optimized_equals_raw():
+    """The device default (sparse optimized form) is bit-identical to the
+    raw round sequence, batched, with and without absorbed inputs."""
+    import jax.numpy as jnp
+
+    from snark_verifier_tpu.ops import poseidon as JP
+
+    spec = default_spec()
+    rng = np.random.RandomState(5)
+    B = 3
+    state_ints = [[int(x) for x in rng.randint(1, 1 << 30, spec.t)] for _ in range(B)]
+    state = jnp.asarray(np.stack([FR.encode(row) for row in state_ints]))
+    for n_inputs in (0, 2, spec.rate):
+        ins_ints = [[int(x) for x in rng.randint(1, 1 << 30, B)] for _ in range(n_inputs)]
+        inputs = [jnp.asarray(FR.encode(col)) for col in ins_ints]
+        raw = np.asarray(JP.permutation_raw(spec, state, inputs))
+        opt = np.asarray(JP.permutation(spec, state, inputs))
+        assert np.array_equal(raw, opt), f"mismatch at n_inputs={n_inputs}"
+
+
 def test_jax_sponge_matches_oracle():
     import jax.numpy as jnp
 
@@ -247,4 +267,7 @@ def test_optimized_form_saves_in_circuit_rows():
         return loader.builder.n_rows
 
     raw, opt = rows(False), rows(True)
-    assert opt < raw * 0.8, f"sparse form should save rows: {opt} vs {raw}"
+    # The round-3 5-wire gate fuses sum-of-products chains, which compressed
+    # the dense-MDS rows and shrank the sparse form's relative win from ~2x
+    # to ~15% (1682 vs 1972 rows/permutation) — still a strict saving.
+    assert opt < raw * 0.9, f"sparse form should save rows: {opt} vs {raw}"
