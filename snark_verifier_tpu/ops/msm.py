@@ -236,9 +236,18 @@ def _bucket_totals(pts_pad: G1, dig, nbuckets: int) -> G1:
 
     m = n
     while m > 1:
-        even = G1(cur.x[:, 0::2], cur.y[:, 0::2], cur.z[:, 0::2])
-        odd = G1(cur.x[:, 1::2], cur.y[:, 1::2], cur.z[:, 1::2])
-        seg_e, seg_o = seg[:, 0::2], seg[:, 1::2]
+        # even/odd via reshape + unit-stride index: stride-2 middle-axis
+        # slices (x[:, 0::2]) are slow strided memory ops on TPU
+        def _eo(a):
+            r = a.reshape(nwin, m // 2, 2, *a.shape[2:])
+            return r[:, :, 0], r[:, :, 1]
+
+        ex, ox_ = _eo(cur.x)
+        ey, oy_ = _eo(cur.y)
+        ez, oz_ = _eo(cur.z)
+        even = G1(ex, ey, ez)
+        odd = G1(ox_, oy_, oz_)
+        seg_e, seg_o = _eo(seg)
         same = seg_e == seg_o
         # same ? odd+even : odd, fused (complete add is symmetric in p, q)
         cur = C.g1_add_select(same, odd, even)
