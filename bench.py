@@ -3,15 +3,20 @@
 Covers the BASELINE.md configs:
   1. GWC succinct batch verify (primary metric, k=BENCH_K standard-plonk)
   2. SHPLONK succinct batch verify
-  3. batch decide (random-fold + one pairing) and a 2^16-point Pippenger MSM
+  3. batch decide (random-fold + one pairing) and a 2^20-point Pippenger MSM
   4. KZG accumulation of 4 proofs (native fold) + device decide
+
+Process model (round 5): the parent runs EACH config in its own child
+process (`python bench.py --child NAME`) so one config's abort/timeout —
+e.g. the round-4 fatal `Check failed: limits[i] <= dim(i)` TPU crash that
+zeroed BENCH_r04 — cannot destroy the other configs' measurements.  Child
+detail goes to stderr; the child's LAST stdout line is a JSON fragment the
+parent merges.  The parent's LAST stdout line is the primary metric:
+  {"metric": ..., "value": N, "unit": "proofs/s", "vs_baseline": N,
+   "configs": {...}, "partial": bool, "skipped_configs": [...]}
 
 Timing forces a host copy (np.asarray) of every output leaf because
 `block_until_ready` does NOT block through the axon TPU tunnel (CLAUDE.md).
-
-The LAST stdout line is the primary JSON metric:
-  {"metric": ..., "value": N, "unit": "proofs/s", "vs_baseline": N, "configs": {...}}
-(the driver parses the final JSON line; detail goes to stderr first).
 """
 
 from __future__ import annotations
@@ -19,26 +24,9 @@ from __future__ import annotations
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# Use the default platform (TPU under axon; CPU elsewhere).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtpu_bench")
-
-from snark_verifier_tpu.parallel.batch import (  # noqa: E402
-    build_batch_decider,
-    build_verifier,
-    pack_instances,
-    pack_proofs,
-)
-from snark_verifier_tpu.pcs.kzg import KzgGwc, KzgShplonk  # noqa: E402
-from snark_verifier_tpu.sdk import gen_proof  # noqa: E402
-from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk  # noqa: E402
-from snark_verifier_tpu.system.halo2.srs import gen_srs  # noqa: E402
 
 K = int(os.environ.get("BENCH_K", "8"))
 # default batch 1820: 1820 proofs x 18 MSM terms = 32760 lanes, filling the
@@ -54,15 +42,32 @@ PER_CHIP_TARGET = 1000.0 / 8.0  # north-star v5e-8 target, per chip
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
 _START = time.time()
 
-# Result-so-far, shared with the SIGTERM handler so a driver kill still
-# records whatever was measured (the r3 bench timed out having measured
-# configs 1-2 but printed nothing).
-_RESULT = {"primary": None, "configs": {}}
+
+def _detail(d):
+    print(json.dumps({"detail": d}), file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _budget_left():
+    return BUDGET_S - (time.time() - _START)
+
+
+# ---------------------------------------------------------------------------
+# Parent: orchestrate config children, merge, always emit the final line.
+# ---------------------------------------------------------------------------
+
+_RESULT = {
+    "primary": None,
+    "configs": {},
+    "partial": False,
+    "skipped": [],
+    "failed": [],
+}
+_CHILD = [None]
 
 
 def _emit_result():
     configs = dict(_RESULT["configs"])
-    configs["total_compile_s"] = round(_TOTAL_COMPILE[0], 1)
     configs["bench_wall_s"] = round(time.time() - _START, 1)
     primary = _RESULT["primary"]
     result = {
@@ -71,6 +76,11 @@ def _emit_result():
         "unit": "proofs/s",
         "vs_baseline": round(primary / PER_CHIP_TARGET, 4) if primary else 0.0,
         "configs": configs,
+        "partial": bool(
+            _RESULT["partial"] or _RESULT["skipped"] or _RESULT["failed"]
+        ),
+        "skipped_configs": _RESULT["skipped"],
+        "failed_configs": _RESULT["failed"],
     }
     sys.stderr.flush()
     print(json.dumps(result))
@@ -80,25 +90,112 @@ def _emit_result():
 def _on_term(signum, frame):
     _detail({"killed": signal.Signals(signum).name,
              "elapsed_s": round(time.time() - _START, 1)})
+    _RESULT["partial"] = True
+    child = _CHILD[0]
+    if child is not None and child.poll() is None:
+        child.terminate()
     _emit_result()
     os._exit(0)
 
 
-def _budget_left():
-    return BUDGET_S - (time.time() - _START)
+def _run_child(name: str, timeout_s: float) -> bool:
+    """Spawn `bench.py --child name`; merge its final-stdout-line JSON.
+    Returns True on success."""
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", name],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    _CHILD[0] = proc
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+        _RESULT["failed"].append({"config": name, "error": "timeout",
+                                  "elapsed_s": round(time.time() - t0, 1)})
+        _detail({"config": name, "error": "timeout"})
+        return False
+    finally:
+        _CHILD[0] = None
+    last = out.strip().splitlines()[-1] if out.strip() else ""
+    if proc.returncode != 0:
+        _RESULT["failed"].append({"config": name, "rc": proc.returncode,
+                                  "elapsed_s": round(time.time() - t0, 1)})
+        _detail({"config": name, "error": f"rc={proc.returncode}"})
+        # a crashed child may still have printed partial fragments
+    try:
+        frag = json.loads(last) if last else {}
+    except json.JSONDecodeError:
+        frag = {}
+    _RESULT["configs"].update(frag.get("configs", {}))
+    if frag.get("primary"):
+        _RESULT["primary"] = frag["primary"]
+    return proc.returncode == 0
+
+
+def parent():
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    # (name, min-budget-to-start).  2 runs last: it re-compiles a
+    # ~config-1-sized graph for the least new information.
+    plan = [("1", 0.0)]
+    if "3" in CONFIGS:
+        plan += [("3", 120.0), ("msm", 60.0)]
+    if "4" in CONFIGS:
+        plan.append(("4", 90.0))
+    if "2" in CONFIGS:
+        plan.append(("2", 60.0))
+    if os.environ.get("BENCH_KERNELS"):
+        plan.append(("kernels", 90.0))
+
+    for name, need in plan:
+        left = _budget_left()
+        if left <= need:
+            _RESULT["skipped"].append(name)
+            _detail({"config": name, "skipped": "budget",
+                     "left_s": round(left, 1)})
+            continue
+        _run_child(name, timeout_s=max(left, 30.0))
+
+    # flagship recursion metrics recorded by examples/aggregation_e2e.py
+    # (the k=20 aggregation circuit proven by the threaded native prover)
+    fx = os.path.join(os.path.dirname(__file__), "tests", "golden",
+                      "aggregation_outer_1snark.json")
+    if os.path.exists(fx):
+        with open(fx) as f:
+            agg = json.load(f)
+        for key in ("prove_s", "rows", "outer_k", "verified_on",
+                    "verify_decide_s"):
+            if agg.get(key) is not None:
+                _RESULT["configs"][f"aggregation_{key}"] = agg[key]
+
+    _emit_result()
+
+
+# ---------------------------------------------------------------------------
+# Children: one config per process.
+# ---------------------------------------------------------------------------
+
+
+def _child_emit(configs, primary=None):
+    sys.stderr.flush()
+    print(json.dumps({"configs": configs, "primary": primary}))
+    sys.stdout.flush()
 
 
 def _sync(out):
     """Force device->host copies; the only reliable timing barrier here."""
+    import jax
+    import numpy as np
+
     return jax.tree_util.tree_map(np.asarray, out)
-
-
-def _detail(d):
-    print(json.dumps({"detail": d}), file=sys.stderr)
-    sys.stderr.flush()
-
-
-_TOTAL_COMPILE = [0.0]
 
 
 def _bench_fn(fn, *args, iters=ITERS):
@@ -106,7 +203,6 @@ def _bench_fn(fn, *args, iters=ITERS):
     t0 = time.time()
     out = _sync(fn(*args))
     compile_s = time.time() - t0
-    _TOTAL_COMPILE[0] += compile_s
     times = []
     for _ in range(iters):
         t0 = time.time()
@@ -115,7 +211,19 @@ def _bench_fn(fn, *args, iters=ITERS):
     return min(times), out, compile_s
 
 
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtpu_bench")
+    return jax
+
+
 def _proof_batch(pk, scheme):
+    import jax.numpy as jnp
+
+    from snark_verifier_tpu.parallel.batch import pack_instances, pack_proofs
+    from snark_verifier_tpu.sdk import gen_proof
+
     instances = [[[10_000 + i]] for i in range(N_UNIQUE)]
     proofs = [
         gen_proof(pk, ins, scheme, cache_name=f"bench_k{K}_{i}")
@@ -127,110 +235,98 @@ def _proof_batch(pk, scheme):
     return proof_arr, inst_arr
 
 
-def main():
-    signal.signal(signal.SIGTERM, _on_term)
-    signal.signal(signal.SIGINT, _on_term)
+def _build_protocol():
+    from snark_verifier_tpu.system.halo2.circuits import build_standard_plonk
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+
     srs = gen_srs(K)
     protocol, pk = build_standard_plonk(K, srs)
-    configs = _RESULT["configs"]
+    return srs, protocol, pk
 
-    # ---- config 1: GWC succinct batch verify (primary) ---------------------
-    proof_arr, inst_arr = _proof_batch(pk, "gwc")
-    fn = jax.jit(build_verifier(protocol, KzgGwc, srs.g[0]))
+
+def child_succinct(scheme: str):
+    jax = _setup_jax()
+
+    from snark_verifier_tpu.parallel.batch import build_verifier
+    from snark_verifier_tpu.pcs.kzg import KzgGwc, KzgShplonk
+
+    srs, protocol, pk = _build_protocol()
+    As = KzgGwc if scheme == "gwc" else KzgShplonk
+    proof_arr, inst_arr = _proof_batch(pk, scheme)
+    fn = jax.jit(build_verifier(protocol, As, srs.g[0]))
     best, out, compile_s = _bench_fn(fn, proof_arr, inst_arr)
-    assert bool(out["ok"].all()), "config-1 proofs failed verification"
-    primary = BATCH / best
-    _RESULT["primary"] = primary
-    configs["gwc_succinct_proofs_per_s"] = round(primary, 2)
-    _detail({"config": 1, "batch": BATCH, "k": K, "best_s": round(best, 4),
-             "compile_s": round(compile_s, 1), "device": str(jax.devices()[0])})
-
-    # Configs run in value order (3: decide+MSM, 4: accumulation, 2: SHPLONK
-    # — 2 last: it re-compiles a ~config-1-sized graph for the least new
-    # information) with a budget check between each.
-
-    # ---- config 3: batch decide + large Pippenger MSM ----------------------
-    if "3" in CONFIGS and _budget_left() > 120:
-        dk = srs.decider_key()
-        decider = build_batch_decider(dk)
-        import random
-
-        rng = random.Random(0)
-        from snark_verifier_tpu.ops.limbs import ints_to_limbs
-        from snark_verifier_tpu.util import bn254 as bn
-
-        fold = jnp.asarray(
-            np.stack([ints_to_limbs([rng.randrange(bn.R)])[0] for _ in range(BATCH)])
-        )
-        args3 = (out["lhs_x"], out["lhs_y"], out["rhs_x"], out["rhs_y"], fold)
-        best3, ok3, compile3 = _bench_fn(decider, *args3, iters=1)
-        assert bool(np.asarray(ok3)), "config-3 batch decide failed"
-        configs["batch_decide_s"] = round(best3, 4)
-        _detail({"config": 3, "decide_best_s": round(best3, 4), "compile_s": round(compile3, 1)})
-        if _budget_left() > 60:
-            _msm_bench(configs)
-
-    # ---- config 4: accumulation of 4 proofs --------------------------------
-    if "4" in CONFIGS and _budget_left() > 90:
-        from snark_verifier_tpu.sdk import gen_snark
-        from snark_verifier_tpu.sdk.aggregation import aggregate_native
-
-        snarks = [
-            gen_snark(pk, [[20_000 + i]], "gwc", cache_name=f"bench_agg_k{K}_{i}",
-                      transcript_kind="poseidon")
-            for i in range(4)
-        ]
-        t0 = time.time()
-        agg = aggregate_native(KzgGwc, srs.g[0], snarks)
-        fold_s = time.time() - t0
-        from snark_verifier_tpu.ops import pairing as PAIR
-        from snark_verifier_tpu.ops.curve import g1_from_affine_ints
-
-        dk = srs.decider_key()
-        lhs = g1_from_affine_ints([agg.accumulator.lhs.value])
-        rhs = g1_from_affine_ints([agg.accumulator.rhs.value])
-        ok4 = _sync(PAIR.kzg_pairing_check(lhs, rhs, dk.g2, dk.s_g2))
-        t0 = time.time()
-        ok4 = _sync(PAIR.kzg_pairing_check(lhs, rhs, dk.g2, dk.s_g2))
-        decide4_s = time.time() - t0
-        assert bool(np.asarray(ok4).all()), "config-4 aggregation decide failed"
-        configs["aggregate_4_fold_s"] = round(fold_s, 4)
-        configs["aggregate_decide_s"] = round(decide4_s, 4)
-        _detail({"config": 4, "fold_s": round(fold_s, 4), "decide_s": round(decide4_s, 4)})
-
-    # ---- config 2: SHPLONK succinct batch verify ---------------------------
-    if "2" in CONFIGS and _budget_left() > 0.6 * max(compile_s, 60):
-        sp_proofs, sp_inst = _proof_batch(pk, "shplonk")
-        fn2 = jax.jit(build_verifier(protocol, KzgShplonk, srs.g[0]))
-        best2, out2, compile2 = _bench_fn(fn2, sp_proofs, sp_inst)
-        assert bool(out2["ok"].all()), "config-2 proofs failed verification"
-        configs["shplonk_succinct_proofs_per_s"] = round(BATCH / best2, 2)
-        _detail({"config": 2, "best_s": round(best2, 4), "compile_s": round(compile2, 1)})
-
-    if os.environ.get("BENCH_KERNELS"):
-        _sol_bench(configs)
-
-    # flagship recursion metrics recorded by examples/aggregation_e2e.py
-    # (the k=20 aggregation circuit proven by the threaded native prover)
-    fx = os.path.join(
-        os.path.dirname(__file__), "tests", "golden",
-        "aggregation_outer_1snark.json",
-    )
-    if os.path.exists(fx):
-        import json as _json
-
-        with open(fx) as f:
-            agg = _json.load(f)
-        configs["aggregation_prove_s"] = agg.get("prove_s")
-        configs["aggregation_rows"] = agg.get("rows")
-        configs["aggregation_outer_k"] = agg.get("outer_k")
-
-    _emit_result()
+    assert bool(out["ok"].all()), f"{scheme} proofs failed verification"
+    rate = BATCH / best
+    cfg_no = 1 if scheme == "gwc" else 2
+    _detail({"config": cfg_no, "batch": BATCH, "k": K,
+             "best_s": round(best, 4), "compile_s": round(compile_s, 1),
+             "device": str(jax.devices()[0])})
+    configs = {f"{scheme}_succinct_proofs_per_s": round(rate, 2),
+               f"{scheme}_compile_s": round(compile_s, 1)}
+    _child_emit(configs, primary=rate if scheme == "gwc" else None)
 
 
-def _msm_bench(configs):
-    """Large-MSM throughput (BASELINE config 3 scale: 2^16 points)."""
+def _synthetic_accumulators(n: int):
+    """n valid KZG accumulator pairs (lhs = tau*rhs) as canonical affine
+    limb arrays — decoupled from config 1 so the decide bench stands alone.
+    Validity: e(r*tau*G, g2) == e(r*G, tau*g2)."""
     import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snark_verifier_tpu.ops.limbs import ints_to_limbs
+    from snark_verifier_tpu.system.halo2.srs import gen_srs
+    from snark_verifier_tpu.util import bn254 as bn
+
+    srs = gen_srs(K)
+    rng = random.Random(5)
+    uniq = 64
+    rs = [rng.randrange(1, bn.R) for _ in range(uniq)]
+    lhs = [bn.g1_mul(srs.g[1], r) for r in rs]
+    rhs = [bn.g1_mul(srs.g[0], r) for r in rs]
+    reps = n // uniq
+
+    def pack(points, coord):
+        arr = ints_to_limbs([p[coord] for p in points])
+        return jnp.asarray(np.tile(arr, (reps, 1)))
+
+    dk = srs.decider_key()
+    return (pack(lhs, 0), pack(lhs, 1), pack(rhs, 0), pack(rhs, 1)), dk
+
+
+def child_decide():
+    _setup_jax()
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snark_verifier_tpu.ops.limbs import ints_to_limbs
+    from snark_verifier_tpu.parallel.batch import build_batch_decider
+    from snark_verifier_tpu.util import bn254 as bn
+
+    (lx, ly, rx, ry), dk = _synthetic_accumulators(BATCH)
+    decider = build_batch_decider(dk)
+    rng = random.Random(0)
+    fold = jnp.asarray(
+        np.stack([ints_to_limbs([rng.randrange(bn.R)])[0] for _ in range(BATCH)])
+    )
+    best, ok, compile_s = _bench_fn(decider, lx, ly, rx, ry, fold, iters=1)
+    assert bool(np.asarray(ok)), "config-3 batch decide failed"
+    _detail({"config": 3, "decide_best_s": round(best, 4),
+             "compile_s": round(compile_s, 1)})
+    _child_emit({"batch_decide_s": round(best, 4),
+                 "decide_compile_s": round(compile_s, 1)})
+
+
+def child_msm():
+    """Large-MSM throughput (BASELINE config 3 scale: 2^20 points)."""
+    _setup_jax()
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from snark_verifier_tpu.ops import curve as C
     from snark_verifier_tpu.ops import msm as M
@@ -246,49 +342,86 @@ def _msm_bench(configs):
         np.tile(ints_to_limbs([rng.randrange(bn.R) for _ in range(64)]), (n // 64, 1))
     )
     # logn >= 18: the (nwin, n) working set would blow HBM — window-chunked.
-    # w=8 beats w=16 here: per-level bucket flushes cost ~log2(n)*nbuckets
-    # adds per window, which at w=16 rivals the run-reduction itself
-    # (PERF.md round-3 notes).
     msm = (
         M.msm_serial
         if logn < 18
         else (lambda p, s, w: M.msm_serial_chunked(p, s, w, win_chunk=4))
     )
-    out = msm(pts, scal, 8)
+    w = int(os.environ.get("BENCH_MSM_WINDOW", "8"))
+    out = msm(pts, scal, w)
     np.asarray(out.x)
     t0 = time.time()
-    out = msm(pts, scal, 8)
+    out = msm(pts, scal, w)
     np.asarray(out.x)
     dt = time.time() - t0
-    configs[f"msm_2e{logn}_points_per_s"] = round(n / dt)
-    _detail({"msm_points": n, "msm_s": round(dt, 3), "points_per_s": round(n / dt)})
+    _detail({"msm_points": n, "msm_s": round(dt, 3),
+             "points_per_s": round(n / dt)})
+    _child_emit({f"msm_2e{logn}_points_per_s": round(n / dt)})
 
 
-def _sol_bench(configs):
+def child_aggregation():
+    _setup_jax()
+    import numpy as np
+
+    from snark_verifier_tpu.ops import pairing as PAIR
+    from snark_verifier_tpu.ops.curve import g1_from_affine_ints
+    from snark_verifier_tpu.pcs.kzg import KzgGwc
+    from snark_verifier_tpu.sdk import gen_snark
+    from snark_verifier_tpu.sdk.aggregation import aggregate_native
+
+    srs, protocol, pk = _build_protocol()
+    snarks = [
+        gen_snark(pk, [[20_000 + i]], "gwc", cache_name=f"bench_agg_k{K}_{i}",
+                  transcript_kind="poseidon")
+        for i in range(4)
+    ]
+    t0 = time.time()
+    agg = aggregate_native(KzgGwc, srs.g[0], snarks)
+    fold_s = time.time() - t0
+    dk = srs.decider_key()
+    lhs = g1_from_affine_ints([agg.accumulator.lhs.value])
+    rhs = g1_from_affine_ints([agg.accumulator.rhs.value])
+    ok4 = _sync(PAIR.kzg_pairing_check(lhs, rhs, dk.g2, dk.s_g2))
+    t0 = time.time()
+    ok4 = _sync(PAIR.kzg_pairing_check(lhs, rhs, dk.g2, dk.s_g2))
+    decide4_s = time.time() - t0
+    assert bool(np.asarray(ok4).all()), "config-4 aggregation decide failed"
+    _detail({"config": 4, "fold_s": round(fold_s, 4),
+             "decide_s": round(decide4_s, 4)})
+    _child_emit({"aggregate_4_fold_s": round(fold_s, 4),
+                 "aggregate_decide_s": round(decide4_s, 4)})
+
+
+def child_kernels():
     """Per-kernel throughput vs speed-of-light (BASELINE.md demands the
     table; the SoL denominators are derived in PERF.md from v5e VPU/MXU
     datasheet rates and per-element op counts)."""
+    jax = _setup_jax()
     import random
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from snark_verifier_tpu.ops import curve as C
     from snark_verifier_tpu.ops import field as F
     from snark_verifier_tpu.ops.limbs import ints_to_limbs
     from snark_verifier_tpu.util import bn254 as bn
 
+    configs = {}
     rng = random.Random(0)
-    # 32768 = the Pallas kernels' base lane tier; the 65536 tier measured
-    # ~1.7x worse per lane for g1_add (round-4 probes), so report the tier
-    # the MSM/verifier paths actually fill.
+    # 32768 = the Pallas kernels' base lane tier; report the tier the
+    # MSM/verifier paths actually fill.
     B = int(os.environ.get("BENCH_KERNEL_BATCH", "32768"))
-    K = int(os.environ.get("BENCH_KERNEL_CHAIN", "32"))
+    CHAIN = int(os.environ.get("BENCH_KERNEL_CHAIN", "32"))
 
     def timeit_chain(step, init, reps=3):
-        """Time K data-dependent iterations inside ONE jit, returning a tiny
-        slice — isolates device throughput from the axon tunnel transfer."""
+        """Time CHAIN data-dependent iterations inside ONE jit, returning a
+        tiny slice — isolates device throughput from the tunnel transfer."""
 
         @jax.jit
         def run(c):
-            c, _ = jax.lax.scan(lambda c, _: (step(c), None), c, None, length=K)
+            c, _ = jax.lax.scan(lambda c, _: (step(c), None), c, None,
+                                length=CHAIN)
             return jax.tree_util.tree_map(lambda x: x.reshape(-1)[:1], c)
 
         _sync(run(init))
@@ -304,7 +437,7 @@ def _sol_bench(configs):
     b = jnp.roll(a, 1, axis=0)
 
     dt = timeit_chain(lambda c: (F.mont_mul(c[0], c[1], F.FQ), c[0]), (a, b))
-    configs["sol_mont_mul_ops_per_s"] = round(B * K / dt)
+    configs["sol_mont_mul_ops_per_s"] = round(B * CHAIN / dt)
 
     base = [bn.g1_mul(bn.G1_GEN, i + 1) for i in range(256)]
     p = C.g1_from_affine_ints(base * (B // 256))
@@ -313,7 +446,7 @@ def _sol_bench(configs):
     from snark_verifier_tpu.ops.curve import _g1_add_xla
 
     dt = timeit_chain(lambda c: (_g1_add_xla(c[0], c[1]), c[0]), (p, q))
-    configs["sol_g1_add_ops_per_s"] = round(B * K / dt)
+    configs["sol_g1_add_ops_per_s"] = round(B * CHAIN / dt)
 
     from snark_verifier_tpu import config as cfg
 
@@ -321,13 +454,13 @@ def _sol_bench(configs):
         from snark_verifier_tpu.ops import curve_pallas as CP
 
         dt = timeit_chain(lambda c: (CP.g1_add_pallas(c[0], c[1]), c[0]), (p, q))
-        configs["sol_g1_add_pallas_ops_per_s"] = round(B * K / dt)
+        configs["sol_g1_add_pallas_ops_per_s"] = round(B * CHAIN / dt)
 
         mask = jnp.asarray(np.arange(B) % 3 != 0)
         dt = timeit_chain(
             lambda c: (CP.g1_add_select_pallas(mask, c[0], c[1]), c[0]), (p, q)
         )
-        configs["sol_g1_add_select_pallas_ops_per_s"] = round(B * K / dt)
+        configs["sol_g1_add_select_pallas_ops_per_s"] = round(B * CHAIN / dt)
 
     from snark_verifier_tpu.ops import poseidon as POS
     from snark_verifier_tpu.util.poseidon import default_spec
@@ -341,7 +474,7 @@ def _sol_bench(configs):
     state = jnp.tile(state, (max(1, B // 16384), 1, 1))
     nperm = state.shape[0]
     dt = timeit_chain(lambda s: POS.permutation(spec, s, []), state)
-    configs["sol_poseidon_perm_per_s"] = round(nperm * K / dt)
+    configs["sol_poseidon_perm_per_s"] = round(nperm * CHAIN / dt)
 
     from snark_verifier_tpu.ops import keccak as KEC
 
@@ -351,10 +484,24 @@ def _sol_bench(configs):
         .astype(np.uint32)
     )
     dt = timeit_chain(KEC.keccak_f, lanes)
-    configs["sol_keccak_f_per_s"] = round(nperm * K / dt)
+    configs["sol_keccak_f_per_s"] = round(nperm * CHAIN / dt)
 
     _detail({k: v for k, v in configs.items() if k.startswith("sol_")})
+    _child_emit(configs)
+
+
+_CHILDREN = {
+    "1": lambda: child_succinct("gwc"),
+    "2": lambda: child_succinct("shplonk"),
+    "3": child_decide,
+    "msm": child_msm,
+    "4": child_aggregation,
+    "kernels": child_kernels,
+}
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _CHILDREN[sys.argv[2]]()
+    else:
+        parent()

@@ -15,8 +15,12 @@ staticcall(gas(), 0x5..0x8, ...) with hex literals and identifiers.
 
 Gas model (Shanghai): 21000 base + calldata (4/16 per zero/nonzero byte) +
 per-op costs + memory expansion (3w + w^2/512) + precompile costs
-(EIP-2565 modexp floor 200, ecAdd 150, ecMul 6000, pairing 45000+34000k).
-"""
+(EIP-2565 modexp formula, ecAdd 150, ecMul 6000, pairing 45000+34000k).
+The number is a MODEL: without solc there is no bytecode, so stack-machine
+overhead (PUSH/DUP/SWAP, jumps) that a compiled contract would pay is not
+counted — expect the model to undercount a real deployment by the stack
+shuffling of solc's codegen.  tests/test_yul_differential.py pins every
+rule here against hand-computed Yellow-Paper/EIP values."""
 
 from __future__ import annotations
 
@@ -257,8 +261,15 @@ class _Exec:
         w = lambda k: int.from_bytes(mem[inp + 32 * k : inp + 32 * (k + 1)], "big")
         if addr == 0x5:  # modexp (32-byte base/exp/mod here)
             assert w(0) == 32 and w(1) == 32 and w(2) == 32
-            self.gas += 200  # EIP-2565 floor for 32-byte operands
-            self.mstore(out, pow(w(3), w(4), w(5)))
+            # EIP-2565: max(200, mult_complexity * iteration_count / 3) with
+            # mult_complexity = ceil(32/8)^2 = 16 and, for exponents <= 32
+            # bytes, iteration_count = max(exp.bit_length() - 1, 0).  The
+            # verifier's inversion exponent is ~254 bits -> 16*253/3 = 1349,
+            # NOT the 200 floor.
+            exp = w(4)
+            iteration_count = max(exp.bit_length() - 1, 0)
+            self.gas += max(200, 16 * iteration_count // 3)
+            self.mstore(out, pow(w(3), exp, w(5)))
             return 1
         if addr == 0x6:  # ecAdd
             self.gas += 150

@@ -122,6 +122,12 @@ def _tcarry(cols):
 # ---------------------------------------------------------------------------
 
 
+# the packed fabric (_pack/_unpack/_ks8/_padd_raw) hardcodes the
+# 16-limb/8-row layout (row count NLIMB//2, 3-round Kogge-Stone over 8 rows,
+# G[7] carry-out); changing NLIMB requires reworking all four together
+assert NLIMB == 16, "packed carry fabric assumes the 16x16-bit limb layout"
+
+
 def _pack(x):
     """(16, B) 16-bit limbs -> (8, B) u32 rows (limb 2i | limb 2i+1 << 16)."""
     r = x.reshape(NLIMB // 2, 2, x.shape[-1])

@@ -191,6 +191,12 @@ def _bucket_totals(pts_pad: G1, dig, nbuckets: int) -> G1:
     nwin, n = dig.shape
     idx_bits = max(1, (n - 1).bit_length())
     dig_bits = max(1, int(nbuckets - 1).bit_length())
+    # INVARIANT (flush_into depends on it): `seg` stays sorted per row for
+    # the whole tree reduction, so each level holds at most ONE completed
+    # run per digit and the cumsum-difference position encoding in
+    # flush_into picks a unique gather index.  Any future reordering of the
+    # sort/pairing scheme that breaks per-row sortedness silently corrupts
+    # the flush (two completed runs of one digit would alias).
     if idx_bits + dig_bits <= 32:
         # single-operand sort of (digit << idx_bits | index) packed keys —
         # measurably cheaper than argsort's key/value pair sort (round 4)

@@ -47,9 +47,16 @@ WINDOW = 4
 NWINDOWS = (NLIMB * LIMB_BITS) // WINDOW  # 64 signed 4-bit windows
 NTAB = (1 << (WINDOW - 1)) + 1  # |digit| in 0..8 -> 9 table entries
 ROWS = 3 * NLIMB  # one point = 48 sublanes (x | y | z)
-SCAN_LANES = 1024  # lane width of the whole-MSM scan kernel (wider than the
-                   # generic FP.LANES tier: fewer grid steps -> ~8% faster;
-                   # 2048 exceeds VMEM with the 9-entry table block)
+import os as _os
+
+# Lane width of the whole-MSM scan kernel.  1024 was ~8% faster in round 3,
+# but with the round-4 packed-u32 carry fabric the 1024-lane block makes the
+# TPU compiler ABORT (fatal `Check failed: limits[i] <= dim(i) (2 vs 1)` in
+# the Mosaic custom-call lowering — the crash that zeroed BENCH_r04; the
+# (8, 2, lanes) reshape intermediates of _pack/_unpack are the suspected
+# trigger at >512 lanes).  512 compiles and runs; keep it until the
+# compiler-side bug is gone (probe: SVTPU_MSM_SCAN_LANES=1024).
+SCAN_LANES = int(_os.environ.get("SVTPU_MSM_SCAN_LANES", "512"))
 
 
 def signed_digits(scalars_canon):

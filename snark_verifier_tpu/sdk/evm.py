@@ -56,7 +56,13 @@ def encode_calldata(instances, proof: bytes) -> bytes:
 
 def evm_verify(verifier: EvmVerifier, instances, proof: bytes) -> int:
     """Run the generated verifier on calldata (evm.rs:180-192 semantics):
-    returns gas used on accept, raises EvmRevert on reject.
+    returns MODELED gas on accept, raises EvmRevert on reject.
+
+    Gas caveat: solc/revm do not exist in this environment, so the number
+    comes from the in-repo Yul interpreter's gas schedule
+    (loader/evm_yul.py — Yellow-Paper/EIP-1108 rules for the opcodes and
+    precompiles the contract uses), not from a real EVM run.  Treat it as
+    a model estimate until the contract has been executed by revm/geth.
 
     Executes BOTH the rendered Yul text (the artifact users deploy — role
     of solc+revm, loader/evm/util.rs:105-130) and the loader IR, asserting

@@ -22,7 +22,8 @@ def setup():
 @pytest.mark.parametrize("scheme", ["gwc", "shplonk"])
 def test_generated_verifier_accepts(setup, scheme):
     """evm_verify runs BOTH the rendered Yul text and the IR (differential)
-    and returns measured gas on accept."""
+    and returns modeled gas on accept (interpreter gas schedule; no real
+    EVM in this environment — see loader/evm_yul.py)."""
     srs, protocol, pk = setup
     As = KzgGwc if scheme == "gwc" else KzgShplonk
     verifier = gen_evm_verifier(protocol, As, srs.decider_key())
