@@ -285,11 +285,11 @@ def _synthetic_accumulators(n: int):
     rs = [rng.randrange(1, bn.R) for _ in range(uniq)]
     lhs = [bn.g1_mul(srs.g[1], r) for r in rs]
     rhs = [bn.g1_mul(srs.g[0], r) for r in rs]
-    reps = n // uniq
+    reps = -(-n // uniq)  # ceil: n need not divide uniq (trim below)
 
     def pack(points, coord):
         arr = ints_to_limbs([p[coord] for p in points])
-        return jnp.asarray(np.tile(arr, (reps, 1)))
+        return jnp.asarray(np.tile(arr, (reps, 1))[:n])
 
     dk = srs.decider_key()
     return (pack(lhs, 0), pack(lhs, 1), pack(rhs, 0), pack(rhs, 1)), dk
@@ -342,12 +342,18 @@ def child_msm():
         np.tile(ints_to_limbs([rng.randrange(bn.R) for _ in range(64)]), (n // 64, 1))
     )
     # logn >= 18: the (nwin, n) working set would blow HBM — window-chunked.
+    w = int(os.environ.get("BENCH_MSM_WINDOW", "11"))
+    signed = os.environ.get("BENCH_MSM_SIGNED", "1") == "1"
+    nwin = -(-256 // w)
+    chunk = int(os.environ.get("BENCH_MSM_CHUNK", "0")) or min(4, nwin)
+    while nwin % chunk:
+        chunk -= 1
     msm = (
-        M.msm_serial
+        (lambda p, s, w: M.msm_serial(p, s, w, signed))
         if logn < 18
-        else (lambda p, s, w: M.msm_serial_chunked(p, s, w, win_chunk=4))
+        else (lambda p, s, w: M.msm_serial_chunked(p, s, w, win_chunk=chunk,
+                                                   signed=signed))
     )
-    w = int(os.environ.get("BENCH_MSM_WINDOW", "8"))
     out = msm(pts, scal, w)
     np.asarray(out.x)
     t0 = time.time()

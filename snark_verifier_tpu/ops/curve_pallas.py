@@ -300,3 +300,105 @@ def g1_double_t(p):
         mod, npr = _core_consts()
         return _dbl_core(*p, mod, npr)
     return tuple(_pallas_t_call(_dbl_kernel, 3, 3, list(p)))
+
+
+def g1_add_select_t(mask, p, q):
+    """mask ? p+q : p on transposed slabs — the raw fused kernel with NO
+    layout round-trip.  p, q: 3-tuples of (16, L) uint32 (L a multiple of
+    FP.LANES); mask: (1, L) uint32.  The per-call transpose/pad of
+    `g1_add_select_pallas` costs ~2x at >=2^20-lane tiers (PERF.md round 5);
+    large-MSM callers keep their whole working set transposed instead."""
+    if FP.interpret():
+        mod, npr = _core_consts()
+        rx, ry, rz = _add_core(*p, *q, mod, npr)
+        keep = mask != 0
+        return (
+            jnp.where(keep, rx, p[0]),
+            jnp.where(keep, ry, p[1]),
+            jnp.where(keep, rz, p[2]),
+        )
+    from snark_verifier_tpu.ops import field as F
+
+    tc = tconsts(F.FQ)
+    L = p[0].shape[1]
+    assert L % FP.LANES == 0
+    return tuple(
+        pl.pallas_call(
+            _add_select_kernel,
+            out_shape=[jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32)] * 3,
+            grid=(L // FP.LANES,),
+            in_specs=[_point_blockspec()] * 6
+            + [_mask_blockspec()]
+            + TConsts.in_specs(),
+            out_specs=[_point_blockspec()] * 3,
+        )(*p, *q, mask, *tc.as_inputs())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused Horner window combine: acc = 2^w * acc + totals[w] over a sequential
+# grid, accumulator VMEM-resident.  Replaces ~nwin * (w + 1) dispatched
+# small-batch point ops (the per-window doublings are latency-bound at lane
+# width 1 through the axon runtime).
+# ---------------------------------------------------------------------------
+
+ROWS3 = 3 * NLIMB
+
+
+def _horner_w_kernel(window, totals_ref, mod_ref, npr_ref, out_ref):
+    """Grid step w (MSB window first): acc <- 2^window * acc + T_w."""
+    w = pl.program_id(0)
+    mod, npr = mod_ref[:], npr_ref[:]
+    tx = totals_ref[0:NLIMB, :]
+    ty = totals_ref[NLIMB : 2 * NLIMB, :]
+    tz = totals_ref[2 * NLIMB :, :]
+
+    @pl.when(w == 0)
+    def _():
+        out_ref[0:NLIMB, :] = tx
+        out_ref[NLIMB : 2 * NLIMB, :] = ty
+        out_ref[2 * NLIMB :, :] = tz
+
+    @pl.when(w > 0)
+    def _():
+        x = out_ref[0:NLIMB, :]
+        y = out_ref[NLIMB : 2 * NLIMB, :]
+        z = out_ref[2 * NLIMB :, :]
+        for _ in range(window):
+            x, y, z = _dbl_core(x, y, z, mod, npr)
+        x, y, z = _add_core(x, y, z, tx, ty, tz, mod, npr)
+        out_ref[0:NLIMB, :] = x
+        out_ref[NLIMB : 2 * NLIMB, :] = y
+        out_ref[2 * NLIMB :, :] = z
+
+
+def horner_combine_pallas(totals, window: int):
+    """totals: G1 batch (nwin,) -> G1 scalar: sum_w 2^(w*window) * totals_w.
+
+    One pallas_call with a sequential window grid; each step unrolls
+    `window` doublings + 1 add on a (48, 128) VMEM block (lane 0 carries
+    the value; the 128-lane block is the Mosaic minimum)."""
+    from snark_verifier_tpu.ops import field as F
+    from snark_verifier_tpu.ops.curve import G1
+
+    nwin = totals.x.shape[0]
+
+    def slab(c):  # (nwin, 16) -> (16, nwin*128), MSB window at block 0
+        t = c[::-1].T[:, :, None]  # (16, nwin, 1)
+        return jnp.broadcast_to(t, (NLIMB, nwin, 128)).reshape(NLIMB, nwin * 128)
+
+    tslab = jnp.concatenate([slab(totals.x), slab(totals.y), slab(totals.z)], axis=0)
+    tc = tconsts(F.FQ)
+    out = pl.pallas_call(
+        functools.partial(_horner_w_kernel, window),
+        out_shape=jax.ShapeDtypeStruct((ROWS3, 128), jnp.uint32),
+        grid=(nwin,),
+        in_specs=[
+            pl.BlockSpec((ROWS3, 128), lambda w: (0, w), memory_space=pltpu.VMEM)
+        ]
+        + TConsts.in_specs(),
+        out_specs=pl.BlockSpec(
+            (ROWS3, 128), lambda w: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )(tslab, *tc.as_inputs())
+    return G1(out[0:NLIMB, 0], out[NLIMB : 2 * NLIMB, 0], out[2 * NLIMB :, 0])

@@ -43,7 +43,17 @@ def interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _padded_total(n: int) -> int:
+def _padded_total(n: int, small_tiers: bool = False) -> int:
+    """Canonical padded lane count.  `small_tiers` adds 512/4096 tiers below
+    FIXED_TOTAL for cheap-to-compile kernels (mont_mul) whose callers run at
+    tiny batch (the pairing tower ops): Mosaic compiles once per grid, and
+    the mont-mul kernel compiles in seconds, so the extra grids are worth
+    the 64x lane-waste reduction.  The expensive G1 kernels keep the single
+    32768 base tier."""
+    if small_tiers:
+        for tier in (LANES, 4096):
+            if n <= tier:
+                return tier
     total = FIXED_TOTAL
     while total < n:
         total *= 2
@@ -267,7 +277,7 @@ def mont_mul_pallas(a, b, spec):
     batch_shape = a.shape[:-1]
     a2, b2 = jnp.broadcast_arrays(a, b)
     n = int(np.prod(batch_shape)) if batch_shape else 1
-    total = _padded_total(n)
+    total = _padded_total(n, small_tiers=True)
     pad = total - n
     at = a2.reshape(n, NLIMB).T
     bt = b2.reshape(n, NLIMB).T

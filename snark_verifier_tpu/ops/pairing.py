@@ -190,6 +190,64 @@ def _miller_stage(px, py, q_key):
     return miller_loop_const_q(px, py, _key_to_g2(q_key))
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _miller_stage_pair(px1, py1, px2, py2, q1_key, q2_key):
+    """BOTH Miller loops of the KZG check in ONE scan at doubled batch.
+
+    The dbl/add step sequence depends only on ATE_NAF (not on Q), so the
+    two constant-line tapes align step-for-step: lanes [0, B) evaluate the
+    q1 lines, lanes [B, 2B) the q2 lines.  Halves the ~91 sequential Fq12
+    square/multiply steps vs two separate stages — the decide path is
+    latency-bound at its tiny batch (PERF.md).  Returns (f1, f2)."""
+    shape = px1.shape[:-1]
+    assert len(shape) == 1, "pair stage expects a flat batch"
+    B = shape[0]
+    lines1 = _line_constants(q1_key)
+    lines2 = _line_constants(q2_key)
+    assert len(lines1) == len(lines2)
+    assert [k for k, _, _ in lines1] == [k for k, _, _ in lines2]
+
+    import numpy as np
+
+    from snark_verifier_tpu.ops.limbs import int_to_limbs
+
+    def enc(v):
+        return int_to_limbs(FQ.to_mont_int(v))
+
+    is_dbl = jnp.asarray(np.array([k == "dbl" for k, _, _ in lines1], np.bool_))
+
+    def stack_consts(pick):
+        # (nsteps, 2B, 2, 16): each step's constant replicated over its half
+        rows = []
+        for l1, l2 in zip(lines1, lines2):
+            v1, v2 = pick(l1), pick(l2)
+            rows.append([[enc(v1[0]), enc(v1[1])]] * B + [[enc(v2[0]), enc(v2[1])]] * B)
+        return jnp.asarray(np.asarray(rows, np.uint32))
+
+    lam_arr = stack_consts(lambda l: l[1])
+    c3_arr = stack_consts(lambda l: l[2])
+
+    px = jnp.concatenate([px1, px2], axis=0)
+    py = jnp.concatenate([py1, py2], axis=0)
+    shape2 = (2 * B,)
+    f0 = T.fq12_ones(shape2)
+    zero2 = T.fq2_zeros(shape2)
+    neg_px = F.neg(px, FQ)
+
+    def step(f, xs):
+        dbl, lam, c3 = xs  # lam/c3: (2B, 2, 16)
+        f = T.fq12_select(dbl, T.fq12_sqr(f), f)
+        c0 = (py, F.zeros(shape2))
+        lam_px = (T.fq_mul(lam[:, 0], neg_px), T.fq_mul(lam[:, 1], neg_px))
+        l = ((c0, zero2, zero2), (lam_px, (c3[:, 0], c3[:, 1]), zero2))
+        return T.fq12_mul(f, l), None
+
+    f, _ = jax.lax.scan(step, f0, (is_dbl, lam_arr, c3_arr))
+    f1 = jax.tree_util.tree_map(lambda x: x[:B], f)
+    f2 = jax.tree_util.tree_map(lambda x: x[B:], f)
+    return f1, f2
+
+
 @jax.jit
 def _combine_stage(f1, f2, lhs_inf, rhs_inf):
     shape = lhs_inf.shape
@@ -431,8 +489,14 @@ def kzg_pairing_check(lhs, rhs, g2, s_g2):
     rhs_n = CRV.g1_normalize(rhs)
     lhs_inf = CRV.g1_is_identity(lhs)
     rhs_inf = CRV.g1_is_identity(rhs)
-    f1 = _miller_stage(lhs_n.x, lhs_n.y, _g2_key(g2))
-    f2 = _miller_stage(rhs_n.x, rhs_n.y, _g2_key(bn254.g2_neg(s_g2)))
+    if len(shape) == 1:  # fused dual-Miller scan (halved sequential depth)
+        f1, f2 = _miller_stage_pair(
+            lhs_n.x, lhs_n.y, rhs_n.x, rhs_n.y,
+            _g2_key(g2), _g2_key(bn254.g2_neg(s_g2)),
+        )
+    else:
+        f1 = _miller_stage(lhs_n.x, lhs_n.y, _g2_key(g2))
+        f2 = _miller_stage(rhs_n.x, rhs_n.y, _g2_key(bn254.g2_neg(s_g2)))
     f = _combine_stage(f1, f2, lhs_inf, rhs_inf)
     out = _final_exp_stage(f)
     return _is_one_stage(out, lhs_inf)

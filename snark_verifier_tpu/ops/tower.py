@@ -178,6 +178,24 @@ def fq6_ones(shape=()):
 # -- Fq12 --------------------------------------------------------------------
 
 
+def _stacked_mul(aa, bb):
+    """The tower's one batched Montgomery multiply.  On TPU this is the
+    fused Pallas kernel with small lane tiers (512/4096): a tape-VM or
+    Miller step's 54-product stack at decide batch (~432 lanes) becomes ONE
+    single-block kernel launch instead of the XLA mont_mul graph whose
+    dispatch latency dominated the final exponentiation (round 5).  CPU
+    keeps the XLA path (bit-exact reference; interpret-mode pallas is
+    unusably slow)."""
+    from snark_verifier_tpu import config
+
+    if config.use_pallas():
+        from snark_verifier_tpu.ops.field_pallas import interpret, mont_mul_pallas
+
+        if not interpret():
+            return mont_mul_pallas(aa, bb, FQ)
+    return F.mont_mul(aa, bb, FQ)
+
+
 def fq12_mul(a, b):
     """Stacked-SoA Karatsuba: the 54 Fq products of the Fq12 tower collapse
     into ONE batched mont_mul over a stacked (54, ..., 16) operand pair, and
@@ -212,7 +230,7 @@ def fq12_mul(a, b):
     shape = jnp.broadcast_shapes(*(p[0].shape for p in pairs))
     aa = jnp.stack([jnp.broadcast_to(p[0], shape) for p in pairs])
     bb = jnp.stack([jnp.broadcast_to(p[1], shape) for p in pairs])
-    rr = F.mont_mul(aa, bb, FQ)
+    rr = _stacked_mul(aa, bb)
 
     def fq2_from(idx):
         t0, t1, t2 = rr[idx], rr[idx + 1], rr[idx + 2]

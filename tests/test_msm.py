@@ -105,3 +105,50 @@ def test_msm_equal_points_collide():
     got = C.g1_to_affine_ints(M.msm_serial(p, s, 8))
     exp = bn.g1_msm(scalars, pts)
     assert got[0] == exp
+
+
+def test_bucket_totals_transposed_matches(monkeypatch):
+    """Round-5 transposed bit-reversed fold (`_bucket_totals_t`): per-window
+    totals bit-identical to the XLA-layout reference fold, including runs
+    that straddle pair boundaries (multi-level partial flushes) and the
+    all-equal giant-run case."""
+    n_orig, w = 13, 4
+    pts, scalars = rand_case(n_orig)
+    scalars[-3:] = [5, 5, 0]  # force split runs + zero digits
+    nbuckets = 1 << w
+    nwin = 64
+    n = 16
+    digits = M._window_digits(jnp.asarray(ints_to_limbs(scalars)), w, nwin, nbuckets)
+    dig = jnp.zeros((nwin, n), jnp.uint32).at[:, :n_orig].set(digits.T)
+    ident_n = C.g1_identity((n,))
+    pb = C.g1_from_affine_ints(pts)
+    pts_pad = C.G1(
+        ident_n.x.at[:n_orig].set(pb.x),
+        ident_n.y.at[:n_orig].set(pb.y),
+        ident_n.z.at[:n_orig].set(pb.z),
+    )
+    t_old = C.g1_to_affine_ints(M._bucket_totals(pts_pad, dig, nbuckets))
+    t_new = C.g1_to_affine_ints(M._bucket_totals_t(pts_pad, dig, nbuckets))
+    assert t_old == t_new
+
+
+def test_msm_serial_signed_windows(monkeypatch):
+    """Signed w-bit windows (halved bucket count): oracle-exact through both
+    fold implementations, incl. non-power-of-two bucket counts (2^(w-1)+1)
+    and the negated-point path."""
+    n = 21
+    pts, scalars = rand_case(n)
+    exp = bn.g1_msm(scalars, pts)
+    p = C.g1_from_affine_ints(pts)
+    s = jnp.asarray(ints_to_limbs(scalars))
+    for tree in ("0", "1"):
+        monkeypatch.setenv("SVTPU_MSM_TREE", tree)
+        # the env is read at TRACE time: drop the cached trace so both
+        # fold implementations really compile and run
+        M.msm_serial.clear_cache()
+        got = C.g1_to_affine_ints(M.msm_serial(p, s, 5, True))
+        assert got[0] == exp, f"tree={tree}"
+    monkeypatch.setenv("SVTPU_MSM_TREE", "1")
+    M._chunk_runs.clear_cache()
+    got = C.g1_to_affine_ints(M.msm_serial_chunked(p, s, 8, win_chunk=8, signed=True))
+    assert got[0] == exp
