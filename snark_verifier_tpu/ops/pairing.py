@@ -406,6 +406,10 @@ def _conj_flat(x):
 
 
 def _mul_flat(x, y):
+    if T._use_fq12_kernel():
+        from snark_verifier_tpu.ops.tower_pallas import fq12_mul_flat_pallas
+
+        return fq12_mul_flat_pallas(x, y)
     return T.fq12_to_flat(T.fq12_mul(T.fq12_from_flat(x), T.fq12_from_flat(y)))
 
 

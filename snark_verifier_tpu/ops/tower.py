@@ -196,6 +196,24 @@ def _stacked_mul(aa, bb):
     return F.mont_mul(aa, bb, FQ)
 
 
+def _use_fq12_kernel() -> bool:
+    """Whole-product fused Fq12 kernel (ops/tower_pallas.py): one pallas
+    launch per tower multiply instead of ~150 scheduled XLA ops.  On by
+    default on TPU; SVTPU_FQ12_KERNEL=0 falls back to the stacked-SoA XLA
+    path."""
+    import os
+
+    from snark_verifier_tpu import config
+
+    if not config.use_pallas():
+        return False
+    from snark_verifier_tpu.ops.field_pallas import interpret
+
+    if interpret():
+        return False
+    return os.environ.get("SVTPU_FQ12_KERNEL", "1") == "1"
+
+
 def fq12_mul(a, b):
     """Stacked-SoA Karatsuba: the 54 Fq products of the Fq12 tower collapse
     into ONE batched mont_mul over a stacked (54, ..., 16) operand pair, and
@@ -204,6 +222,12 @@ def fq12_mul(a, b):
     bodies built from it (Miller loop, final exponentiation) shrink ~50x in
     HLO count — the per-op dispatch overhead at small batch was the entire
     decide cost (106 s -> ~3 s for the final exp on one v5e chip)."""
+    if _use_fq12_kernel():
+        from snark_verifier_tpu.ops.tower_pallas import fq12_mul_flat_pallas
+
+        return fq12_from_flat(
+            fq12_mul_flat_pallas(fq12_to_flat(a), fq12_to_flat(b))
+        )
     pairs = []
 
     def sched_fq2(x, y):

@@ -49,7 +49,9 @@ def fixture():
 
 def test_outer_snark_verifies_and_decides(fixture):
     protocol, instances, proof_bytes, dk = fixture
-    assert protocol.domain.k >= 21  # it really is the at-scale circuit
+    # the at-scale circuit: k=20 since the 5-wire gate + dual range lookups
+    # (round 3) shrank the verifier below 2^20 rows (r2 needed k=21)
+    assert protocol.domain.k >= 20
     loader = NativeLoader()
     verifier = PlonkVerifier(KzgGwc)
     loaded = protocol.loaded(loader)
