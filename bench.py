@@ -152,7 +152,9 @@ def parent():
         plan.append(("4", 90.0))
     if "2" in CONFIGS:
         plan.append(("2", 60.0))
-    if os.environ.get("BENCH_KERNELS"):
+    if os.environ.get("BENCH_KERNELS", "1") == "1":
+        # on by default since round 5: ~2 min warm, and the driver's run
+        # should carry the SoL table (BENCH_KERNELS=0 disables)
         plan.append(("kernels", 90.0))
 
     for name, need in plan:
